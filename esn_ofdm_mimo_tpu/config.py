@@ -1,0 +1,165 @@
+"""Typed configuration dataclasses for the framework.
+
+The reference keeps configuration as module-level constants in each script
+(e.g. reference system_model_2/OFDM_SISO_NBF_LDPC.py:114-203) plus one
+result-embedded meta dict (Demo_MIMO_4x8_Sionna_CDL_ESN_v2.py:565-585).
+Here the same parameter surface is a frozen dataclass tree so that configs are
+hashable (usable as jit static args) and presets are plain constructors.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class OfdmConfig:
+    """OFDM modem parameters.
+
+    Conventions (must match reference exactly, see SURVEY.md §2.3):
+      TX time-domain signal  x = N * ifft(X); CP = last `cp` samples prepended
+      RX frequency symbols   Y = (1/N) * fft(y[cp:])
+    """
+    n_subcarriers: int = 512          # N
+    bits_per_symbol: int = 4          # m (16-QAM)
+    bits_per_pilot_symbol: int = 4    # m_pilot
+    isi_duration: int = 8             # channel memory in taps
+    sample_rate_hz: float = 2 * 1.024e6   # W
+    doppler_hz: float = 100.0         # f_D
+    noise_psd: float = 1e-5           # No
+
+    @property
+    def cp_len(self) -> int:
+        return self.isi_duration - 1
+
+    @property
+    def symbol_duration_s(self) -> float:
+        # (N + IsiDuration - 1) / W, reference OFDM_SISO_NBF_LDPC.py:151
+        return (self.n_subcarriers + self.isi_duration - 1) / self.sample_rate_hz
+
+    @property
+    def coherence_symbols(self) -> int:
+        # L = floor((0.5/f_D) / T_OFDM_Total), reference :152-153
+        tau_c = 0.5 / max(self.doppler_hz, 1e-9)
+        return max(1, math.floor(tau_c / self.symbol_duration_s))
+
+
+@dataclasses.dataclass(frozen=True)
+class PaConfig:
+    """Rapp power-amplifier soft clipping: x / (1+(|x|/A)^(2p))^(1/(2p)).
+
+    A = sqrt(var_x) * 10^(clip_db/20), reference OFDM_SISO_NBF_LDPC.py:235.
+    """
+    smoothness: float = 1.0           # p_smooth
+    clip_level_db: float = 3.0        # ClipLeveldB
+    enabled: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ChannelConfig:
+    """Multipath channel model.
+
+    kind="exp_pdp": one-sided exponential power-delay profile block fading
+      (reference OFDM_SISO_NBF_LDPC.py:162-164, 272-279).
+    kind="cdl_b": 3GPP TR 38.901 TDL-B 23-tap profile scaled to delay_spread_ns
+      with linear fractional-delay splitting (Demo_MIMO_4x8_Sionna_CDL_ESN_v2.py:127-165).
+    kind="awgn_flat": single random unit-magnitude complex tap
+      (Demo_SISO_QPSK_AWGN_LDPC_ESN_with_ZF_LS.py:205-206).
+    """
+    kind: str = "exp_pdp"
+    n_tx: int = 1
+    n_rx: int = 1
+    delay_spread_ns: float = 300.0    # CDL-B only
+
+
+@dataclasses.dataclass(frozen=True)
+class EsnConfig:
+    """Echo-state-network detector hyperparameters.
+
+    Matches the reference's pyESN usage (SURVEY.md §2.3 "ESN hyperparameters"):
+    reservoir size 300 (600 for 4x8 @ N=512), spectral radius 0.9, sparsity 0.1,
+    input_scaling = 0.005/sqrt(var_x), teacher_scaling 5e-7, state noise 1e-3,
+    shared delay (min+max)//2 with max = ceil(isi/2)+2, nForget = delay + CP.
+    """
+    n_reservoir: int = 300
+    spectral_radius: float = 0.9
+    sparsity: float = 0.1
+    noise: float = 1e-3
+    input_scaler: float = 0.005
+    input_offset: float = 0.0
+    teacher_scaling: float = 5e-7
+    min_delay: int = 0
+    # max_delay defaults to ceil(isi_duration/2)+2 at pipeline level when None
+    max_delay: Optional[int] = None
+    train_ebno_fixed_db: Optional[float] = 12.0   # second, fixed-SNR-trained ESN
+
+    def resolved_max_delay(self, isi_duration: int) -> int:
+        if self.max_delay is not None:
+            return self.max_delay
+        return int(math.ceil(isi_duration / 2) + 2)
+
+    def shared_delay(self, isi_duration: int) -> int:
+        # DelayFlag == 0 path: d = (min+max)//2  (helper_mimo_esn_generic.py:59-61)
+        return (self.min_delay + self.resolved_max_delay(isi_duration)) // 2
+
+
+@dataclasses.dataclass(frozen=True)
+class LdpcConfig:
+    """Regular Gallager LDPC code + BP decoding parameters.
+
+    Reference: pyldpc make_ldpc(n=N*m, dv=4, dc=8, systematic, sparse) and the
+    decode contract llr*1.5 clip ±20, y_obs=llr/2, snr=1.0
+    (OFDM_SISO_NBF_LDPC.py:186-202, 477-499).
+    """
+    enabled: bool = True
+    dv: int = 4
+    dc: int = 8
+    max_iter: int = 100
+    low_snr_double_iter_below_db: float = 6.0   # DEC_MAXITER doubled below 6 dB
+    llr_scale: float = 1.5
+    llr_clip: float = 20.0
+    decode_every: int = 4            # decode every k-th data symbol
+    seed: int = 0                    # construction seed (host-side, cached)
+
+
+@dataclasses.dataclass(frozen=True)
+class CalibConfig:
+    """Per-bit 1D logistic-regression LLR calibration (4x8 CDL pipeline).
+
+    p(bit=1|llr) = sigmoid(a*llr + b), fit by full-batch GD
+    (Demo_MIMO_4x8_Sionna_CDL_ESN_v2.py:105-119, 476-523).
+    """
+    enabled: bool = False
+    cal_fraction: float = 0.3
+    gd_steps: int = 400
+    lr: float = 0.1
+    l2: float = 1e-3
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Top-level Monte-Carlo experiment configuration."""
+    name: str = "siso_nbf"
+    ofdm: OfdmConfig = OfdmConfig()
+    pa: PaConfig = PaConfig()
+    channel: ChannelConfig = ChannelConfig()
+    esn: EsnConfig = EsnConfig()
+    ldpc: LdpcConfig = LdpcConfig()
+    calib: CalibConfig = CalibConfig()
+    ebno_db: Tuple[float, ...] = tuple(float(x) for x in range(0, 31, 3))
+    num_ofdm_symbols: int = 1000
+    seed: int = 42
+
+    @property
+    def n_blocks(self) -> int:
+        """Number of coherence blocks that cover num_ofdm_symbols.
+
+        The reference's `kk % L == 1` schedule yields one pilot + (L-1) data
+        symbols per block; we round up to whole blocks.
+        """
+        return max(1, math.ceil(self.num_ofdm_symbols / self.ofdm.coherence_symbols))
+
+    @property
+    def data_symbols_per_block(self) -> int:
+        return self.ofdm.coherence_symbols - 1

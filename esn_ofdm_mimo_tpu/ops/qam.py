@@ -1,0 +1,81 @@
+"""QAM constellation, bit labelling, mapping and hard demapping.
+
+Conventions reproduced from the reference (SURVEY.md §2.3):
+  * Square M-QAM built from a PAM grid, flattened column-major, normalised to
+    unit average power (reference system_model_2/OFDM_SISO_NBF_LDPC.py:22-33).
+  * Bit labelling is *natural binary, LSB-first* — the reference's
+    `bits_to_grayvec` (:36-38) is not Gray despite its name. Symbol index is
+    idx = sum_i bits[i] * 2^i.
+
+All functions are shape-polymorphic over leading batch axes and jit-safe.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _constellation_np(bits_per_symbol: int) -> np.ndarray:
+    """Unit-power square QAM constellation, column-major PAM ordering."""
+    even_sqrt = int(np.ceil(np.sqrt(2.0**bits_per_symbol) / 2) * 2)
+    pam = np.arange(-(even_sqrt - 1), even_sqrt, 2, dtype=np.float64)
+    # C[j, i] = pam[i] + 1j*pam[j]; column-major flatten => index = i*PamM + j
+    grid = pam[None, :] + 1j * pam[:, None]
+    flat = grid.T.reshape(-1)  # column-major of grid == row-major of grid.T
+    return (flat / np.sqrt(np.mean(np.abs(flat) ** 2))).astype(np.complex64)
+
+
+def qam_constellation(bits_per_symbol: int) -> jnp.ndarray:
+    """Return the (M,) complex64 unit-power constellation."""
+    return jnp.asarray(_constellation_np(bits_per_symbol))
+
+
+@functools.lru_cache(maxsize=None)
+def _bit_labels_np(bits_per_symbol: int) -> np.ndarray:
+    """(M, m) int32 matrix; row idx = natural-binary LSB-first bits of idx."""
+    m = bits_per_symbol
+    idx = np.arange(2**m, dtype=np.int64)
+    return ((idx[:, None] >> np.arange(m)[None, :]) & 1).astype(np.int32)
+
+
+def qam_bit_labels(bits_per_symbol: int) -> jnp.ndarray:
+    return jnp.asarray(_bit_labels_np(bits_per_symbol))
+
+
+def bits_to_symbols(bits: jnp.ndarray, bits_per_symbol: int) -> jnp.ndarray:
+    """Map bits (..., n_sym * m) -> complex symbols (..., n_sym).
+
+    LSB-first packing: idx = sum_i bits[..., k*m + i] * 2^i
+    (reference OFDM_SISO_NBF_LDPC.py:399-404 via PowersOfTwo @ bits).
+    """
+    m = bits_per_symbol
+    const = qam_constellation(m)
+    *lead, nbits = bits.shape
+    groups = bits.reshape(*lead, nbits // m, m)
+    powers = (2 ** jnp.arange(m)).astype(jnp.int32)
+    idx = jnp.sum(groups.astype(jnp.int32) * powers, axis=-1)
+    return const[idx]
+
+
+def hard_demap_index(symbols: jnp.ndarray, bits_per_symbol: int) -> jnp.ndarray:
+    """Nearest-constellation-point index, vectorised argmin over M points."""
+    const = qam_constellation(bits_per_symbol)
+    d2 = jnp.abs(symbols[..., None] - const) ** 2
+    return jnp.argmin(d2, axis=-1)
+
+
+def symbols_to_bits_hard(symbols: jnp.ndarray, bits_per_symbol: int) -> jnp.ndarray:
+    """Hard demap (..., n_sym) -> bits (..., n_sym * m), LSB-first.
+
+    Replaces the reference's Python double loop `hard_bits_from_syms`
+    (OFDM_SISO_NBF_LDPC.py:103-111) with a batched argmin + table lookup.
+    """
+    m = bits_per_symbol
+    labels = qam_bit_labels(m)
+    idx = hard_demap_index(symbols, m)
+    bits = labels[idx]  # (..., n_sym, m)
+    *lead, n_sym, _ = bits.shape
+    return bits.reshape(*lead, n_sym * m)

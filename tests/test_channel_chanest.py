@@ -1,0 +1,132 @@
+"""Channel model + estimation tests: lfilter-semantics FIR, tap statistics,
+LS/MMSE estimation recovering the true channel in benign conditions."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy import signal, interpolate
+
+from esn_ofdm_mimo_tpu.ops import (
+    exp_pdp, draw_exp_pdp_taps, draw_cdlb_taps, apply_fir_channel,
+    taps_to_freq_response, ls_comb_estimate, mmse_refine_td,
+    equalize_zf, equalize_mmse,
+)
+
+
+def test_exp_pdp_matches_reference_formula():
+    isi = 8
+    cp = isi - 1
+    expect = np.exp(-np.arange(cp + 1) / (cp / 9))
+    expect /= expect.sum()
+    np.testing.assert_allclose(np.asarray(exp_pdp(isi)), expect, rtol=1e-6)
+
+
+def test_fir_matches_scipy_lfilter():
+    rng = np.random.default_rng(3)
+    n_rx, n_tx, isi, T = 2, 3, 8, 50
+    taps = (rng.standard_normal((n_rx, n_tx, isi))
+            + 1j * rng.standard_normal((n_rx, n_tx, isi))).astype(np.complex64)
+    x = (rng.standard_normal((n_tx, T))
+         + 1j * rng.standard_normal((n_tx, T))).astype(np.complex64)
+    y = np.asarray(apply_fir_channel(jnp.asarray(taps), jnp.asarray(x)))
+    y_ref = np.zeros((n_rx, T), dtype=np.complex128)
+    for r in range(n_rx):
+        for t in range(n_tx):
+            y_ref[r] += signal.lfilter(taps[r, t], [1.0], x[t])
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_fir_batched_leading_axes():
+    rng = np.random.default_rng(4)
+    taps = (rng.standard_normal((5, 2, 1, 4)) + 0j).astype(np.complex64)
+    x = (rng.standard_normal((5, 1, 30)) + 0j).astype(np.complex64)
+    y = apply_fir_channel(jnp.asarray(taps), jnp.asarray(x))
+    assert y.shape == (5, 2, 30)
+    y0 = apply_fir_channel(jnp.asarray(taps[0]), jnp.asarray(x[0]))
+    np.testing.assert_allclose(np.asarray(y[0]), np.asarray(y0), rtol=1e-5)
+
+
+def test_exp_pdp_tap_statistics():
+    keys = jax.random.split(jax.random.PRNGKey(0), 2000)
+    taps = jax.vmap(lambda k: draw_exp_pdp_taps(k, 1, 1, 8))(keys)
+    power = np.mean(np.abs(np.asarray(taps)) ** 2, axis=0)[0, 0]
+    np.testing.assert_allclose(power, np.asarray(exp_pdp(8)), rtol=0.15)
+
+
+def test_cdlb_taps_unit_power_and_shape():
+    keys = jax.random.split(jax.random.PRNGKey(1), 100)
+    taps = jax.vmap(lambda k: draw_cdlb_taps(k, 8, 4, 8, 2 * 1.024e6, 300.0))(keys)
+    assert taps.shape == (100, 8, 4, 8)
+    power = np.sum(np.abs(np.asarray(taps)) ** 2, axis=-1)
+    np.testing.assert_allclose(power, 1.0, rtol=1e-4)
+
+
+def test_taps_to_freq_response():
+    rng = np.random.default_rng(5)
+    c = (rng.standard_normal((1, 1, 8)) + 1j * rng.standard_normal((1, 1, 8))).astype(np.complex64)
+    H = np.asarray(taps_to_freq_response(jnp.asarray(c), 64))
+    expect = np.fft.fft(np.r_[c[0, 0], np.zeros(56)])
+    np.testing.assert_allclose(H[:, 0, 0], expect, rtol=1e-4, atol=1e-4)
+
+
+def test_comb_interp_matches_scipy():
+    rng = np.random.default_rng(6)
+    N, n_tx = 64, 4
+    from esn_ofdm_mimo_tpu.ops.chanest import _interp_comb_linear
+    for tx in range(n_tx):
+        sc = np.arange(tx, N, n_tx)
+        v = rng.standard_normal(len(sc)) + 1j * rng.standard_normal(len(sc))
+        f = interpolate.interp1d(sc, v, kind="linear", bounds_error=False,
+                                 fill_value="extrapolate")
+        expect = f(np.arange(N))
+        got = np.asarray(_interp_comb_linear(jnp.asarray(v.astype(np.complex64)),
+                                             tx, n_tx, N))
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_ls_estimate_recovers_true_channel_noiseless():
+    """Noiseless comb LS on a smooth channel must land close to H_true."""
+    rng = np.random.default_rng(7)
+    N, n_tx, n_rx, isi = 64, 2, 2, 8
+    taps = (rng.standard_normal((n_rx, n_tx, isi))
+            + 1j * rng.standard_normal((n_rx, n_tx, isi))).astype(np.complex64) / np.sqrt(2 * isi)
+    H_true = np.asarray(taps_to_freq_response(jnp.asarray(taps), N))
+    # build comb pilot directly in frequency: X_comb[tx, sc] nonzero on its comb
+    X_comb = np.zeros((n_tx, N), dtype=np.complex64)
+    for tx in range(n_tx):
+        X_comb[tx, tx::n_tx] = np.exp(1j * rng.uniform(0, 2 * np.pi, size=len(range(tx, N, n_tx))))
+    sqrt_pi = 1.7
+    # received freq-domain pilots: Y[rx, k] = sum_tx H[k,rx,tx] * X_comb[tx,k] * sqrt_pi
+    Y = np.einsum("krt,tk->rk", H_true, X_comb) * sqrt_pi
+    H_ls = np.asarray(ls_comb_estimate(jnp.asarray(Y), jnp.asarray(X_comb),
+                                       sqrt_pi, n_tx))
+    # on comb positions the estimate is exact; interpolation error is small for
+    # an isi-limited channel sampled at N/n_tx >= 2*isi points
+    err = np.abs(H_ls - H_true) / (np.abs(H_true) + 1e-9)
+    assert np.median(err) < 0.15
+
+
+def test_mmse_refine_shrinks_noise():
+    rng = np.random.default_rng(8)
+    N, isi = 64, 8
+    taps = (rng.standard_normal((1, 1, isi)) * np.sqrt(np.asarray(exp_pdp(isi)))).astype(np.complex64)
+    H_true = np.asarray(taps_to_freq_response(jnp.asarray(taps), N))
+    noise = 0.3 * (rng.standard_normal(H_true.shape) + 1j * rng.standard_normal(H_true.shape))
+    H_noisy = (H_true + noise).astype(np.complex64)
+    H_mmse = np.asarray(mmse_refine_td(jnp.asarray(H_noisy), isi, 1e-5, 1e-3))
+    err_ls = np.linalg.norm(H_noisy - H_true)
+    err_mmse = np.linalg.norm(H_mmse - H_true)
+    assert err_mmse < err_ls  # TD truncation + shrinkage must help
+
+
+def test_equalizers_recover_noiseless():
+    rng = np.random.default_rng(9)
+    n_rx, n_tx, N = 4, 2, 32
+    H = (rng.standard_normal((N, n_rx, n_tx))
+         + 1j * rng.standard_normal((N, n_rx, n_tx))).astype(np.complex64)
+    x = (rng.standard_normal((N, n_tx)) + 1j * rng.standard_normal((N, n_tx))).astype(np.complex64)
+    sqrt_pi = 2.0
+    y = np.einsum("krt,kt->kr", H, x) * sqrt_pi
+    x_zf = np.asarray(equalize_zf(jnp.asarray(y), jnp.asarray(H), sqrt_pi))
+    np.testing.assert_allclose(x_zf, x, rtol=1e-2, atol=1e-3)
+    x_mmse = np.asarray(equalize_mmse(jnp.asarray(y), jnp.asarray(H), sqrt_pi, 1e-9))
+    np.testing.assert_allclose(x_mmse, x, rtol=1e-2, atol=1e-3)

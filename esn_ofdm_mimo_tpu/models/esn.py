@@ -1,0 +1,221 @@
+"""Echo-state network engine, TPU-first.
+
+Semantics reproduce the reference's vendored pyESN (libs/pyESN.py) exactly —
+state update, teacher forcing during fit, self-feedback during predict, the
+post-tanh uniform state noise, input/teacher scaling, and the pinv readout —
+but the execution model is redesigned for TPU:
+
+  * the sequential recurrence is one `lax.scan` whose per-step work is a
+    batched matmul `(B, n) @ (n, n)` over B independent sequences sharing one
+    reservoir — this keeps the MXU busy instead of issuing B tiny matvecs
+    (reference pyESN.py:111-125 does one Python-interpreted matvec per step);
+  * the readout least-squares (reference pyESN.py:189-192, np.linalg.pinv) is
+    a batched Cholesky solve of the normal equations with a small relative
+    Tikhonov jitter — equivalent to pinv for the tall, full-column-rank
+    regressor matrices that arise here (validated against a float64 oracle in
+    tests/test_esn.py);
+  * spectral-radius rescaling (reference pyESN.py:100-102, np.linalg.eigvals)
+    uses power iteration with geometric-mean growth — eig is unavailable on
+    TPU and only |lambda_max| is needed.
+
+Weight convention: all weight matrices are stored transposed relative to
+pyESN so that every contraction is a row-major `x @ W`:
+    state'   = tanh(s @ Wt + u @ W_in_t + d @ W_fb_t) + noise*(U(0,1)-0.5)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class EsnReservoir(NamedTuple):
+    """Fixed (untrained) reservoir weights, stored transposed."""
+    Wt: jnp.ndarray        # (n_res, n_res)
+    W_in_t: jnp.ndarray    # (n_in, n_res)
+    W_fb_t: jnp.ndarray    # (n_out, n_res)
+    noise: jnp.ndarray     # scalar state-noise amplitude
+
+
+class EsnScale(NamedTuple):
+    """Input/teacher affine scalings (pyESN input_scaling/teacher_scaling)."""
+    input_scaling: jnp.ndarray   # scalar or (n_in,)
+    input_shift: jnp.ndarray     # scalar or (n_in,)
+    teacher_scaling: jnp.ndarray  # scalar
+
+
+def spectral_radius_power_iter(W: jnp.ndarray, key, iters: int = 96,
+                               tail: int = 32) -> jnp.ndarray:
+    """Estimate |lambda_max(W)| by power iteration with geometric-mean growth.
+
+    Complex eigenpairs make per-step norm growth oscillate; the geometric mean
+    of the last `tail` growth factors averages the oscillation out.
+    """
+    n = W.shape[0]
+    v0 = jax.random.normal(key, (n,), dtype=W.dtype)
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    def step(v, _):
+        w = v @ W.T
+        nw = jnp.linalg.norm(w)
+        return w / jnp.maximum(nw, 1e-30), jnp.log(jnp.maximum(nw, 1e-30))
+
+    _, logs = jax.lax.scan(step, v0, None, length=iters)
+    return jnp.exp(jnp.mean(logs[-tail:]))
+
+
+def init_reservoir(key, n_in: int, n_out: int, n_res: int,
+                   spectral_radius: float = 0.9, sparsity: float = 0.1,
+                   noise: float = 1e-3, dtype=jnp.float32) -> EsnReservoir:
+    """Draw reservoir weights with pyESN's distributions (pyESN.py:93-109):
+    W ~ U(-0.5, 0.5) zeroed w.p. sparsity then rescaled to `spectral_radius`;
+    W_in, W_fb ~ U(-1, 1).
+    """
+    kw, km, ki, kf, kp = jax.random.split(key, 5)
+    W = jax.random.uniform(kw, (n_res, n_res), dtype=dtype, minval=-0.5, maxval=0.5)
+    if sparsity > 0:
+        mask = jax.random.uniform(km, (n_res, n_res), dtype=dtype) >= sparsity
+        W = W * mask
+    radius = spectral_radius_power_iter(W, kp)
+    W = W * (spectral_radius / jnp.maximum(radius, 1e-12))
+    W_in = jax.random.uniform(ki, (n_res, n_in), dtype=dtype, minval=-1.0, maxval=1.0)
+    W_fb = jax.random.uniform(kf, (n_res, n_out), dtype=dtype, minval=-1.0, maxval=1.0)
+    return EsnReservoir(Wt=W.T, W_in_t=W_in.T, W_fb_t=W_fb.T,
+                        noise=jnp.asarray(noise, dtype=dtype))
+
+
+def _scale_inputs(scale: EsnScale, x: jnp.ndarray) -> jnp.ndarray:
+    return x * scale.input_scaling + scale.input_shift
+
+
+def esn_states(res: EsnReservoir, scale: EsnScale, inputs: jnp.ndarray,
+               teachers_scaled: jnp.ndarray, noise_key) -> jnp.ndarray:
+    """Harvest reservoir states with teacher forcing (pyESN.fit:179-182).
+
+    inputs:          (B, T, n_in) — raw (unscaled) inputs
+    teachers_scaled: (B, T, n_out) — already in the scaled teacher domain
+    returns states   (B, T, n_res); states[:, 0] == 0 as in pyESN.
+    """
+    B, T, _ = inputs.shape
+    n_res = res.Wt.shape[0]
+    u = _scale_inputs(scale, inputs)
+    s0 = jnp.zeros((B, n_res), dtype=res.Wt.dtype)
+
+    def step(s, inp):
+        u_n, d_prev, k = inp
+        pre = s @ res.Wt + u_n @ res.W_in_t + d_prev @ res.W_fb_t
+        noise = res.noise * (jax.random.uniform(k, s.shape, dtype=s.dtype) - 0.5)
+        s_next = jnp.tanh(pre) + noise
+        return s_next, s_next
+
+    keys = jax.random.split(noise_key, T - 1)
+    xs = (jnp.swapaxes(u[:, 1:], 0, 1),               # (T-1, B, n_in)
+          jnp.swapaxes(teachers_scaled[:, :-1], 0, 1),
+          keys)
+    _, states_tail = jax.lax.scan(step, s0, xs)
+    states = jnp.concatenate([s0[None], states_tail], axis=0)  # (T, B, n_res)
+    return jnp.swapaxes(states, 0, 1)
+
+
+def _readout_lstsq(ext: jnp.ndarray, tgt: jnp.ndarray,
+                   rel_jitter: float = 1e-7) -> jnp.ndarray:
+    """Batched least-squares readout: solve ext @ Wt_out ≈ tgt.
+
+    ext (B, R, F), tgt (B, R, n_out) -> Wt_out (B, F, n_out).
+
+    Ridge-regularised normal equations + Cholesky + one step of iterative
+    refinement. When the system is wide (F > R, e.g. the 4x8@N=512 config with
+    a 600-unit reservoir and only ~512 training rows) the *dual* form
+    ext^T (ext ext^T + λI)^{-1} tgt is used — as λ→0 both forms converge to
+    the minimum-norm pinv solution pyESN computes (pyESN.py:191).
+    """
+    _, R, F = ext.shape
+
+    def _chol(A):
+        n = A.shape[-1]
+        tr = jnp.trace(A, axis1=-2, axis2=-1) / n
+        A = A + (rel_jitter * tr)[:, None, None] * jnp.eye(n, dtype=A.dtype)
+        return jnp.linalg.cholesky(A)
+
+    if F <= R:  # tall: primal normal equations (F x F gram)
+        chol = _chol(jnp.einsum("brf,brg->bfg", ext, ext))
+
+        def solve(rhs):
+            return jax.scipy.linalg.cho_solve((chol, True), rhs)
+
+        b = jnp.einsum("brf,bro->bfo", ext, tgt)
+        x = solve(b)
+        # one refinement step against the *original* LS operator (recomputing
+        # ext products instead of reusing the rounded gram) recovers most of
+        # the precision the f32 normal equations lose
+        resid = jnp.einsum("brf,bro->bfo", ext,
+                           tgt - jnp.einsum("brf,bfo->bro", ext, x))
+        return x + solve(resid)
+
+    # wide: dual/kernel form (R x R gram), min-norm solution
+    chol = _chol(jnp.einsum("brf,bsf->brs", ext, ext))
+
+    def solve(rhs):
+        return jax.scipy.linalg.cho_solve((chol, True), rhs)
+
+    def apply_K(z):  # K @ z recomputed from ext to dodge gram rounding
+        return jnp.einsum("brf,bso,bsf->bro", ext, z, ext)
+
+    z = solve(tgt)
+    z = z + solve(tgt - apply_K(z))
+    return jnp.einsum("brf,bro->bfo", ext, z)
+
+
+def esn_fit(res: EsnReservoir, scale: EsnScale, inputs: jnp.ndarray,
+            outputs: jnp.ndarray, n_forget: int, noise_key,
+            rel_jitter: float = 1e-7) -> jnp.ndarray:
+    """Train the readout on B sequences sharing one reservoir.
+
+    inputs (B, T, n_in), outputs (B, T, n_out) raw; returns Wt_out
+    (B, n_res + n_in, n_out) — transposed pyESN W_out.
+    The first `n_forget` rows are discarded from the solve (pyESN `transient`,
+    the reference's overlap-discard warmup).
+    """
+    teachers_scaled = outputs * scale.teacher_scaling
+    states = esn_states(res, scale, inputs, teachers_scaled, noise_key)
+    u = _scale_inputs(scale, inputs)
+    ext = jnp.concatenate([states, u], axis=-1)  # (B, T, F)
+    return _readout_lstsq(ext[:, n_forget:], teachers_scaled[:, n_forget:],
+                          rel_jitter)
+
+
+def esn_predict(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
+                inputs: jnp.ndarray, n_forget: int, noise_key) -> jnp.ndarray:
+    """Generate outputs with self-feedback (pyESN.predict, continuation=False).
+
+    inputs (B, T, n_in) raw; Wt_out (B, F, n_out); returns (B, T - n_forget,
+    n_out) unscaled outputs — row r corresponds to input sample n_forget + r.
+
+    The state at step n sees the model's own previous (scaled-domain) output
+    through W_fb, exactly like pyESN.predict:249-253 with zero initial state.
+    """
+    B, T, n_in = inputs.shape
+    n_res = res.Wt.shape[0]
+    n_out = Wt_out.shape[-1]
+    u = _scale_inputs(scale, inputs)
+    Wt_s = Wt_out[:, :n_res, :]   # state part of the readout
+    Wt_u = Wt_out[:, n_res:, :]   # input part
+
+    s0 = jnp.zeros((B, n_res), dtype=res.Wt.dtype)
+    o0 = jnp.zeros((B, n_out), dtype=res.Wt.dtype)
+
+    def step(carry, inp):
+        s, o_prev = carry
+        u_n, k = inp
+        pre = s @ res.Wt + u_n @ res.W_in_t + o_prev @ res.W_fb_t
+        noise = res.noise * (jax.random.uniform(k, s.shape, dtype=s.dtype) - 0.5)
+        s_next = jnp.tanh(pre) + noise
+        o_next = (jnp.einsum("bf,bfo->bo", s_next, Wt_s)
+                  + jnp.einsum("bf,bfo->bo", u_n, Wt_u))
+        return (s_next, o_next), o_next
+
+    keys = jax.random.split(noise_key, T)
+    _, outs = jax.lax.scan(step, (s0, o0), (jnp.swapaxes(u, 0, 1), keys))
+    outs = jnp.swapaxes(outs, 0, 1)  # (B, T, n_out), row n ↔ input sample n
+    return outs[:, n_forget:] / scale.teacher_scaling

@@ -1,0 +1,124 @@
+"""MIMO-OFDM ESN detection harness.
+
+Re-design of the reference's `trainMIMOESN_generic`
+(libs/helper_mimo_esn_generic.py:5-86) and the per-symbol detection path
+(OFDM_SISO_NBF_LDPC.py:430-448), batched over coherence blocks:
+
+  * ESN input layout: 2*n_rx real channels = per-RX (re, im) of the received
+    time-domain waveform y_cp, zero-padded by `delay` samples at the end;
+  * ESN target layout: 2*n_tx channels = per-TX (re, im) of the transmitted
+    waveform x_cp delayed by `delay` samples;
+  * n_forget = delay + cp_len (the reference's overlap-discard warmup);
+  * detection: predict, take rows [0:N) (they correspond to absolute samples
+    delay+cp .. delay+cp+N-1, i.e. the post-CP payload), recombine re+im,
+    FFT/N, divide by sqrt(Pi).
+
+The shared-delay path (DelayFlag=0, the configuration used by every reference
+experiment) trains a single fit at d = (min+max)//2; the delay-scan variant
+(DelayFlag!=0) is provided as `select_delay_by_nmse` for capability parity.
+The reference fits twice at the chosen delay (helper:44 and :84) — the second
+fit differs only in the state-noise realisation, so we fit once.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .esn import EsnReservoir, EsnScale, esn_fit, esn_predict
+
+
+def _interleave_reim(z: jnp.ndarray) -> jnp.ndarray:
+    """(B, A, T) complex -> (B, T, 2A) real with cols (re0, im0, re1, im1, ...)."""
+    parts = jnp.stack([z.real, z.imag], axis=-2)  # (B, A, 2, T)
+    B, A, _, T = parts.shape
+    return jnp.moveaxis(parts.reshape(B, 2 * A, T), -1, -2).astype(jnp.float32)
+
+
+def _deinterleave_reim(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, 2A) real -> (B, A, T) complex."""
+    B, T, twoA = x.shape
+    z = x.reshape(B, T, twoA // 2, 2)
+    return jnp.moveaxis(z[..., 0] + 1j * z[..., 1], -1, -2)
+
+
+def build_esn_io(y_cp: jnp.ndarray, x_cp: jnp.ndarray, delay: int
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Build (X_in, X_out) for a shared delay.
+
+    y_cp (B, n_rx, T) complex, x_cp (B, n_tx, T) complex ->
+    X_in (B, T+delay, 2*n_rx), X_out (B, T+delay, 2*n_tx) real.
+    """
+    yin = _interleave_reim(y_cp)
+    xout = _interleave_reim(x_cp)
+    pad_t = [(0, 0), (0, delay), (0, 0)]
+    X_in = jnp.pad(yin, pad_t)
+    X_out = jnp.pad(xout, [(0, 0), (delay, 0), (0, 0)])
+    return X_in, X_out
+
+
+def build_esn_input(y_cp: jnp.ndarray, delay: int) -> jnp.ndarray:
+    """Inference-time input: y_cp (B, n_rx, T) -> (B, T+delay, 2*n_rx)."""
+    return jnp.pad(_interleave_reim(y_cp), [(0, 0), (0, delay), (0, 0)])
+
+
+def train_mimo_esn(res: EsnReservoir, scale: EsnScale, y_cp: jnp.ndarray,
+                   x_cp: jnp.ndarray, delay: int, cp_len: int, key
+                   ) -> jnp.ndarray:
+    """Fit readouts for B coherence blocks; returns Wt_out (B, F, 2*n_tx)."""
+    X_in, X_out = build_esn_io(y_cp, x_cp, delay)
+    n_forget = delay + cp_len
+    return esn_fit(res, scale, X_in, X_out, n_forget, key)
+
+
+def esn_detect_symbols(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
+                       y_cp: jnp.ndarray, delay: int, cp_len: int,
+                       n_subcarriers: int, power_scale, key) -> jnp.ndarray:
+    """Detect one OFDM symbol per batch row.
+
+    y_cp (B, n_rx, N+cp) complex -> X_hat (B, N, n_tx) frequency symbols.
+    """
+    N = n_subcarriers
+    X_in = build_esn_input(y_cp, delay)
+    n_forget = delay + cp_len
+    pred = esn_predict(res, scale, Wt_out, X_in, n_forget, key)  # (B, T-d-cp, 2n_tx)
+    x_hat_td = _deinterleave_reim(pred[:, :N])       # (B, n_tx, N)
+    X_hat = jnp.fft.fft(x_hat_td, axis=-1) / N
+    X_hat = X_hat / jnp.asarray(power_scale)[..., None, None]
+    return jnp.moveaxis(X_hat, -2, -1)               # (B, N, n_tx)
+
+
+def esn_nmse(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
+             y_cp: jnp.ndarray, x_cp: jnp.ndarray, delay: int, cp_len: int,
+             isi_duration: int, key) -> jnp.ndarray:
+    """Train-set NMSE as defined by the reference's nmse_for_delay
+    (helper_mimo_esn_generic.py:40-56): per-TX squared error on the first N
+    predicted samples vs x_cp[isi-1:], summed over TX. Returns (B,)."""
+    X_in = build_esn_input(y_cp, delay)
+    n_forget = delay + cp_len
+    pred = esn_predict(res, scale, Wt_out, X_in, n_forget, key)
+    x_true = x_cp[:, :, isi_duration - 1:]           # (B, n_tx, T-isi+1)
+    M = x_true.shape[-1]
+    x_hat = _deinterleave_reim(pred)[:, :, :M]
+    err = jnp.sum(jnp.abs(x_hat - x_true) ** 2, axis=-1)
+    ref = jnp.sum(jnp.abs(x_true) ** 2, axis=-1) + 1e-12
+    return jnp.sum(err / ref, axis=-1)
+
+
+def select_delay_by_nmse(res: EsnReservoir, scale: EsnScale, y_cp, x_cp,
+                         min_delay: int, max_delay: int, cp_len: int,
+                         isi_duration: int, key) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """DelayFlag!=0 path: scan delays in [min_delay, max_delay], pick min-NMSE.
+
+    Delays are Python ints (static shapes per candidate); returns
+    (best_delay (B,) int32, nmse_table (B, n_delays)).
+    """
+    nmses = []
+    for d in range(min_delay, max_delay + 1):
+        kf, kp, key = jax.random.split(key, 3)
+        Wt_out = train_mimo_esn(res, scale, y_cp, x_cp, d, cp_len, kf)
+        nmses.append(esn_nmse(res, scale, Wt_out, y_cp, x_cp, d, cp_len,
+                              isi_duration, kp))
+    table = jnp.stack(nmses, axis=-1)
+    return min_delay + jnp.argmin(table, axis=-1).astype(jnp.int32), table

@@ -1,0 +1,116 @@
+"""Batched log-domain belief-propagation LDPC decoder, TPU layout.
+
+Replaces the reference's per-codeword pyldpc `decode(H, y_obs, snr, maxiter)`
+(reference OFDM_SISO_NBF_LDPC.py:484). pyldpc semantics reproduced:
+  * channel LLR from its BPSK observation model: Lc = 2*y/sigma^2 with
+    sigma^2 = 10^(-snr/10); the reference always passes snr=1.0 and
+    y_obs = llr/2, so Lc = llr / 10^(-0.1) ≈ 1.2589 * llr
+    (`llr_from_yobs` packages exactly that contract);
+  * positive LLR <=> bit 0; flooding-schedule sum-product updates;
+  * early exit on zero syndrome — per codeword: each codeword's decision
+    freezes at its first zero-syndrome iteration; the batch-level
+    `lax.while_loop` exits when every codeword froze or maxiter is reached.
+
+TPU design: the irregular sparse connectivity is laid out as two dense int32
+gather maps built at construction time (code.ck_cols (m, dc): variables in
+each check; code.var_edge (n, dv): incident edge slots of each variable).
+One BP iteration is then a handful of dense gathers/scatter-free segment sums
+over (B, m, dc) / (B, n, dv) tensors — no host control flow, no dynamic
+shapes, vmap-free batching over codewords.
+
+Leave-one-out check products use forward/backward cumulative products along
+the (static, tiny) dc axis — exact, division-free, saturation-safe with the
+±MSG_CLIP message clip.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .code import LdpcCode
+
+MSG_CLIP = 16.0  # |tanh(x/2)| stays < 1 in f32 up to ~x=16
+
+
+def llr_from_yobs(y_obs: jnp.ndarray, snr_db: float = 1.0) -> jnp.ndarray:
+    """pyldpc channel-LLR contract: Lc = 2*y/10^(-snr/10)."""
+    var = 10.0 ** (-snr_db / 10.0)
+    return 2.0 * y_obs / var
+
+
+def _leave_one_out_prod(t: jnp.ndarray) -> jnp.ndarray:
+    """Exact leave-one-out product along the last (small, static) axis."""
+    dc = t.shape[-1]
+    ones = jnp.ones_like(t[..., :1])
+    fwd = jnp.concatenate([ones, jnp.cumprod(t[..., :-1], axis=-1)], axis=-1)
+    bwd_rev = jnp.cumprod(t[..., ::-1][..., :-1], axis=-1)[..., ::-1]
+    bwd = jnp.concatenate([bwd_rev, ones], axis=-1)
+    return fwd * bwd
+
+
+def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100
+                   ) -> jnp.ndarray:
+    """Decode B codewords. llr (B, n) channel LLRs (positive <=> bit 0).
+
+    Returns hard codeword bits (B, n) int8.
+    """
+    B, n = llr.shape
+    m, dc = code.ck_cols.shape
+    dv = code.var_edge.shape[1]
+    ck_cols = jnp.asarray(code.ck_cols)        # (m, dc), sentinel == n
+    var_edge = jnp.asarray(code.var_edge)      # (n, dv), sentinel == m*dc
+    valid = (ck_cols < n)                      # (m, dc)
+    Lc = llr.astype(jnp.float32)
+
+    def gather_var(x_bn, pad_val):
+        """(B, n) -> (B, m, dc) values at each check's variables."""
+        xp = jnp.pad(x_bn, ((0, 0), (0, 1)), constant_values=pad_val)
+        return xp[:, ck_cols]
+
+    def sum_r_per_var(r):
+        """r (B, m, dc) -> per-variable sum of incoming check messages."""
+        rf = jnp.pad(r.reshape(B, m * dc), ((0, 0), (0, 1)))
+        return jnp.sum(rf[:, var_edge], axis=-1)  # (B, n)
+
+    def syndrome_ok(d):
+        """d (B, n) hard bits -> (B,) all-checks-satisfied flag."""
+        db = gather_var(d.astype(jnp.float32), 0.0)
+        par = jnp.mod(jnp.sum(jnp.where(valid, db, 0.0), axis=-1), 2.0)
+        return jnp.all(par == 0.0, axis=-1)
+
+    def bp_iter(r):
+        """One flooding iteration. r (B, m, dc) check->var messages."""
+        L_tot = Lc + sum_r_per_var(r)                 # (B, n)
+        q = gather_var(L_tot, 0.0) - r                # var->check, (B, m, dc)
+        q = jnp.clip(q, -MSG_CLIP, MSG_CLIP)
+        t = jnp.where(valid, jnp.tanh(0.5 * q), 1.0)
+        prod = _leave_one_out_prod(t)
+        prod = jnp.clip(prod, -0.9999999, 0.9999999)
+        r_new = 2.0 * jnp.arctanh(prod)
+        r_new = jnp.where(valid, r_new, 0.0)
+        return r_new, L_tot
+
+    r0 = jnp.zeros((B, m, dc), dtype=jnp.float32)
+    d0 = (Lc < 0).astype(jnp.int8)
+    done0 = syndrome_ok(d0)
+
+    def cond(state):
+        it, _, _, done = state
+        return jnp.logical_and(it < max_iter, jnp.logical_not(jnp.all(done)))
+
+    def body(state):
+        it, r, d_final, done = state
+        r_new, _ = bp_iter(r)
+        L_post = Lc + sum_r_per_var(r_new)
+        d_new = (L_post < 0).astype(jnp.int8)
+        ok = syndrome_ok(d_new)
+        # freeze the decision of codewords that just converged
+        d_final = jnp.where((~done & ok)[:, None], d_new, d_final)
+        return it + 1, r_new, d_final, done | ok
+
+    it, r, d_final, done = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), r0, d0, done0))
+    # codewords that never converged keep their final-iteration posterior
+    L_last = Lc + sum_r_per_var(r)
+    d_last = (L_last < 0).astype(jnp.int8)
+    return jnp.where(done[:, None], d_final, d_last)

@@ -1,0 +1,81 @@
+"""LDPC construction/encode/decode tests: algebraic properties, error
+correction, and a small AWGN waterfall sanity check."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from esn_ofdm_mimo_tpu.ldpc import (
+    make_regular_ldpc, ldpc_encode, ldpc_decode_bp, llr_from_yobs)
+from esn_ofdm_mimo_tpu.ldpc.encode import ldpc_extract_message
+
+
+def test_code_structure():
+    code = make_regular_ldpc(512, 4, 8, seed=0)
+    assert code.n == 512
+    # rank-trimmed Gallager: m = n/2 - (rank deficiency ~ dv-1)
+    assert code.n // 2 - 4 <= code.m <= code.n // 2
+    assert code.k == code.n - code.m
+    assert 0.5 <= code.k / code.n <= 0.52     # reference prints rate ~0.5
+    # column weights dv (minus dropped rows), row weights dc
+    assert code.H.sum(axis=0).max() <= code.dv
+    assert np.median(code.H.sum(axis=0)) == code.dv
+    assert code.H.sum(axis=1).max() <= code.dc
+    # full row rank by construction
+    assert code.H.shape == (code.m, code.n)
+
+
+def test_encode_satisfies_parity():
+    code = make_regular_ldpc(512, 4, 8, seed=0)
+    rng = np.random.default_rng(0)
+    u = rng.integers(0, 2, size=(8, code.k))
+    cw = np.asarray(ldpc_encode(code, jnp.asarray(u)))
+    assert cw.shape == (8, code.n)
+    syn = (code.H.astype(np.int64) @ cw.T) % 2
+    assert np.all(syn == 0)
+    # systematic: message is the tail slice
+    msg = np.asarray(ldpc_extract_message(code, jnp.asarray(cw)))
+    np.testing.assert_array_equal(msg, u)
+
+
+def test_decode_noiseless_and_flips():
+    code = make_regular_ldpc(512, 4, 8, seed=0)
+    rng = np.random.default_rng(1)
+    u = rng.integers(0, 2, size=(4, code.k))
+    cw = np.asarray(ldpc_encode(code, jnp.asarray(u))).astype(np.float32)
+    # BPSK LLR: bit0 -> +A, bit1 -> -A
+    llr = (1 - 2 * cw) * 10.0
+    # flip 8 random bits per codeword
+    llr_flip = llr.copy()
+    for b in range(4):
+        idx = rng.choice(code.n, size=8, replace=False)
+        llr_flip[b, idx] *= -1
+    d = np.asarray(ldpc_decode_bp(code, jnp.asarray(llr_flip), max_iter=50))
+    np.testing.assert_array_equal(d, cw.astype(np.int8))
+
+
+def test_decode_awgn_waterfall():
+    """Coded BER over BPSK/AWGN must crush raw BER at ~3 dB Eb/N0."""
+    code = make_regular_ldpc(512, 4, 8, seed=0)
+    rng = np.random.default_rng(2)
+    B = 32
+    u = rng.integers(0, 2, size=(B, code.k))
+    cw = np.asarray(ldpc_encode(code, jnp.asarray(u))).astype(np.float64)
+    rate = code.k / code.n
+    ebno_db = 3.0
+    sigma = np.sqrt(1.0 / (2 * rate * 10 ** (ebno_db / 10)))
+    x = 1 - 2 * cw
+    y = x + sigma * rng.standard_normal(x.shape)
+    raw_ber = np.mean((y < 0) != (cw > 0.5))
+    llr = 2 * y / sigma**2
+    d = np.asarray(ldpc_decode_bp(code, jnp.asarray(llr, dtype=jnp.float32),
+                                  max_iter=60))
+    msg = d[:, code.m:]
+    coded_ber = np.mean(msg != u)
+    assert raw_ber > 0.01
+    assert coded_ber < raw_ber / 10
+
+
+def test_llr_from_yobs_pyldpc_contract():
+    y = jnp.asarray([1.0, -2.0])
+    got = np.asarray(llr_from_yobs(y, 1.0))
+    np.testing.assert_allclose(got, 2 * np.asarray(y) / 10 ** (-0.1), rtol=1e-6)

@@ -1,0 +1,139 @@
+"""Sharded Monte-Carlo engine: SNR sweep with trial-parallel coherence blocks.
+
+The SNR x Monte-Carlo double loop of the reference scripts
+(OFDM_SISO_NBF_LDPC.py:230,266) becomes:
+
+    for each Eb/N0:                      # host loop (tiny)
+      for each round:                    # host loop, resumable
+        shard_map over the 'trials' mesh axis:
+          each device simulates `blocks_per_device` coherence blocks
+          (one jitted, traced-Eb/N0 program reused for every SNR and round)
+          and psums its counters over the mesh
+
+Per-block PRNG keys are folded from (root seed, snr index, global block id)
+— utils/rng.block_keys — so results are independent of the device layout
+(see pipelines/common.py docstring for the exact bit-reproducibility scope).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..config import SimConfig
+from ..pipelines.blockfading import run_nbf_blocks, NbfCounts
+from ..utils.rng import block_keys
+from .mesh import TRIALS_AXIS, trials_mesh
+
+
+@dataclasses.dataclass
+class CurveResult:
+    """Assembled BER curves and channel analytics for one experiment."""
+    ebno_db: np.ndarray
+    ber: Dict[str, np.ndarray]          # uncoded, per detector
+    ber_coded: Dict[str, np.ndarray]    # post-LDPC, per detector
+    capacity_per_sc: np.ndarray
+    frac_rank_full: np.ndarray
+    cond_hist: np.ndarray               # (n_snr, nbins)
+    total_bits: np.ndarray
+    total_info_bits: np.ndarray
+    n_blocks: np.ndarray
+
+
+def _tree_add(a, b):
+    return jax.tree.map(lambda x, y: x + y, a, b)
+
+
+def make_sharded_nbf_step(cfg: SimConfig, mesh) -> Callable:
+    """Build the jitted per-round step: (ebno, keys) -> psum'd counters."""
+
+    def local_step(ebno_db, bkeys):
+        counts = run_nbf_blocks(cfg, ebno_db, bkeys)
+        return jax.tree.map(
+            lambda x: jax.lax.psum(x, TRIALS_AXIS), counts)
+
+    sharded = jax.shard_map(local_step, mesh=mesh,
+                            in_specs=(P(), P(TRIALS_AXIS)),
+                            out_specs=P(),
+                            # replicated scan carries (ESN state zeros) are
+                            # fine here; skip the varying-axis strictness
+                            check_vma=False)
+    return jax.jit(sharded)
+
+
+def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
+                  blocks_per_device: int = 4,
+                  mesh=None, seed: Optional[int] = None,
+                  progress: Optional[Callable[[str], None]] = print,
+                  checkpoint=None) -> CurveResult:
+    """Run the full SNR sweep of a block-fading experiment.
+
+    blocks_per_snr is rounded up to a whole number of rounds
+    (n_devices * blocks_per_device blocks each).
+    """
+    mesh = mesh if mesh is not None else trials_mesh()
+    n_dev = mesh.devices.size
+    G = n_dev * blocks_per_device                 # blocks per round
+    rounds = max(1, -(-blocks_per_snr // G))
+    seed = cfg.seed if seed is None else seed
+    root = jax.random.PRNGKey(seed)
+    step = make_sharded_nbf_step(cfg, mesh)
+
+    ebnos = np.asarray(cfg.ebno_db, dtype=np.float32)
+    acc_per_snr = []
+    for jj, ebno in enumerate(ebnos):
+        if checkpoint is not None and checkpoint.has(jj):
+            acc_per_snr.append(checkpoint.load(jj))
+            continue
+        acc = None
+        for r in range(rounds):
+            ids = jnp.arange(r * G, (r + 1) * G, dtype=jnp.uint32)
+            keys = block_keys(root, jj, ids)
+            counts = step(jnp.float32(ebno), keys)
+            counts = jax.device_get(
+                jax.tree.map(lambda x: np.asarray(x, dtype=np.int64)
+                             if np.issubdtype(np.asarray(x).dtype, np.integer)
+                             else np.asarray(x, dtype=np.float64), counts))
+            acc = counts if acc is None else _tree_add(acc, counts)
+        acc_per_snr.append(acc)
+        if checkpoint is not None:
+            checkpoint.save(jj, acc)
+        if progress is not None:
+            ber = {k: v / max(acc.total_bits, 1)
+                   for k, v in acc.bit_errors.items()}
+            progress(f"[mc] EbNo={ebno:g} dB done: "
+                     + " ".join(f"{k}={v:.4g}" for k, v in sorted(ber.items())))
+
+    return assemble_curve(cfg, ebnos, acc_per_snr)
+
+
+def assemble_curve(cfg: SimConfig, ebnos, acc_per_snr) -> CurveResult:
+    det = sorted(acc_per_snr[0].bit_errors.keys())
+    nb = len(acc_per_snr[0].cond_hist)
+    ber = {d: np.zeros(len(ebnos)) for d in det}
+    berc = {d: np.zeros(len(ebnos)) for d in det}
+    cap = np.zeros(len(ebnos))
+    frk = np.zeros(len(ebnos))
+    chist = np.zeros((len(ebnos), nb))
+    tot = np.zeros(len(ebnos))
+    toti = np.zeros(len(ebnos))
+    nblk = np.zeros(len(ebnos))
+    for jj, acc in enumerate(acc_per_snr):
+        tot[jj] = acc.total_bits
+        toti[jj] = acc.total_info_bits
+        nblk[jj] = acc.n_blocks
+        for d in det:
+            ber[d][jj] = acc.bit_errors[d] / max(acc.total_bits, 1)
+            berc[d][jj] = acc.info_errors[d] / max(acc.total_info_bits, 1)
+        cap[jj] = acc.capacity_sum / max(acc.n_blocks, 1)
+        frk[jj] = acc.rank_full_sum / max(acc.rank_count, 1)
+        chist[jj] = acc.cond_hist
+    return CurveResult(ebno_db=np.asarray(ebnos), ber=ber, ber_coded=berc,
+                       capacity_per_sc=cap, frac_rank_full=frk,
+                       cond_hist=chist, total_bits=tot, total_info_bits=toti,
+                       n_blocks=nblk)

@@ -1,0 +1,108 @@
+"""Benchmark: detected symbols/s/chip on the flagship 4x8 CDL pipeline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The measured quantity is end-to-end Monte-Carlo throughput of the calibrated
+4x8 CDL experiment step (channel synthesis + pilot + ESN train + data-symbol
+detection for ESN and MMSE + LLRs) in OFDM symbols per second on one chip.
+`vs_baseline` compares against a NumPy single-thread oracle implementing the
+reference's per-symbol semantics (pyESN-style Python recurrence + per-symbol
+NumPy equalization), measured on this host — the reference repo publishes no
+throughput numbers (BASELINE.md), so its own execution model is the baseline.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _bench_tpu(n_blocks: int = 8, iters: int = 3) -> float:
+    import jax
+    import jax.numpy as jnp
+    from esn_ofdm_mimo_tpu.experiments.presets import mimo_4x8_cdl
+    from esn_ofdm_mimo_tpu.pipelines.cdl import run_cdl_cal_blocks
+    from esn_ofdm_mimo_tpu.utils.rng import block_keys
+
+    cfg = mimo_4x8_cdl()
+    D = cfg.data_symbols_per_block
+
+    @jax.jit
+    def step(ebno_db, bkeys):
+        out = run_cdl_cal_blocks(cfg, ebno_db, bkeys)
+        return out.bit_errors, out.total_bits
+
+    root = jax.random.PRNGKey(0)
+    keys = block_keys(root, 0, jnp.arange(n_blocks, dtype=jnp.uint32))
+    ebno = jnp.float32(12.0)
+    jax.block_until_ready(step(ebno, keys))  # compile
+    t0 = time.perf_counter()
+    for i in range(iters):
+        keys_i = block_keys(root, i + 1, jnp.arange(n_blocks, dtype=jnp.uint32))
+        jax.block_until_ready(step(ebno, keys_i))
+    dt = (time.perf_counter() - t0) / iters
+    symbols = n_blocks * (D + 1)  # pilot + data symbols per block
+    return symbols / dt
+
+
+def _bench_numpy_reference(n_data_symbols: int = 3) -> float:
+    """Per-symbol cost of a NumPy implementation with the reference's
+    execution model (Python-loop ESN recurrence, per-subcarrier solves).
+    Measures the data-symbol path only — training is amortised over L=75
+    symbols in the reference, so the data path dominates."""
+    rng = np.random.default_rng(0)
+    N, cp, n_tx, n_rx, n_res, isi = 128, 7, 4, 8, 300, 8
+    T = N + cp + 3
+    W = rng.uniform(-0.5, 0.5, (n_res, n_res))
+    W *= 0.9 / np.max(np.abs(np.linalg.eigvals(W)))
+    W_in = rng.uniform(-1, 1, (n_res, 2 * n_rx))
+    W_out = rng.standard_normal((2 * n_tx, n_res + 2 * n_rx))
+    W_fb = rng.uniform(-1, 1, (n_res, 2 * n_tx))
+    H = rng.standard_normal((N, n_rx, n_tx)) + 1j * rng.standard_normal((N, n_rx, n_tx))
+    t0 = time.perf_counter()
+    for _ in range(n_data_symbols):
+        u = rng.standard_normal((T, 2 * n_rx))
+        # reference ESN predict loop (pyESN.py:249-253 execution model)
+        s = np.zeros(n_res)
+        o = np.zeros(2 * n_tx)
+        outs = np.zeros((T, 2 * n_tx))
+        for t in range(T):
+            s = np.tanh(W @ s + W_in @ u[t] + W_fb @ o) + 1e-3 * (rng.random(n_res) - 0.5)
+            o = W_out @ np.concatenate([s, u[t]])
+            outs[t] = o
+        # per-subcarrier MMSE solves (OFDM_SISO_NBF_LDPC.py:450-460 model)
+        Y = rng.standard_normal((N, n_rx)) + 1j * rng.standard_normal((N, n_rx))
+        for k in range(N):
+            Hk = H[k]
+            G = Hk.conj().T @ Hk + 0.1 * np.eye(n_tx)
+            np.linalg.solve(G, Hk.conj().T @ Y[k])
+        # hard demap python loop over subcarriers x streams
+        const = np.arange(16) + 1j
+        for k in range(N):
+            for tx in range(n_tx):
+                int(np.argmin(np.abs(const - Y[k, tx % n_rx])))
+    return n_data_symbols / (time.perf_counter() - t0)
+
+
+def main() -> None:
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_baseline.json")
+    if os.path.exists(cache):
+        base = json.load(open(cache))["numpy_symbols_per_s"]
+    else:
+        base = _bench_numpy_reference()
+        json.dump({"numpy_symbols_per_s": base}, open(cache, "w"))
+
+    tpu = _bench_tpu()
+    print(json.dumps({
+        "metric": "cdl_4x8_detected_symbols_per_s_per_chip",
+        "value": round(tpu, 2),
+        "unit": "symbols/s",
+        "vs_baseline": round(tpu / base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,9 @@ class OfdmConfig:
     sample_rate_hz: float = 2 * 1.024e6   # W
     doppler_hz: float = 100.0         # f_D
     noise_psd: float = 1e-5           # No
+    # explicit coherence length override (the SISO-AWGN demo trains once per
+    # SNR point: one "block" spans the whole run)
+    coherence_override: Optional[int] = None
 
     @property
     def cp_len(self) -> int:
@@ -41,6 +44,8 @@ class OfdmConfig:
     @property
     def coherence_symbols(self) -> int:
         # L = floor((0.5/f_D) / T_OFDM_Total), reference :152-153
+        if self.coherence_override is not None:
+            return self.coherence_override
         tau_c = 0.5 / max(self.doppler_hz, 1e-9)
         return max(1, math.floor(tau_c / self.symbol_duration_s))
 
@@ -71,6 +76,10 @@ class ChannelConfig:
     n_tx: int = 1
     n_rx: int = 1
     delay_spread_ns: float = 300.0    # CDL-B only
+    # SISO-AWGN demo quirks (Demo_SISO_QPSK_AWGN...py:213-216,260-266):
+    # scalar subcarrier-averaged LS estimate, and the MMSE/ZF equalizers use
+    # the TRUE channel rather than an estimate
+    flat_scalar_ls: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -121,6 +130,12 @@ class LdpcConfig:
     llr_clip: float = 20.0
     decode_every: int = 4            # decode every k-th data symbol
     seed: int = 0                    # construction seed (host-side, cached)
+    # pyldpc observation contract: y_obs = llr/2 in the NBF scripts (:483) but
+    # y_obs = llr (unhalved) in the SISO-AWGN demo (Demo_SISO...:289-296)
+    yobs_half: bool = True
+    # noise variance for max-log LLRs: decision-directed (NBF/CDL) or the raw
+    # noise PSD constant (SISO-AWGN demo uses sigma2 = No, Demo_SISO...:283)
+    sigma2_mode: str = "decision"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,94 @@
+"""Experiment presets — the five BASELINE.json configurations.
+
+Each preset mirrors one reference script's parameter block (file:line cited);
+`fast=True` shrinks the Monte-Carlo the same way the reference FAST knob does
+(OFDM_SISO_NBF_LDPC.py:117,127-142).
+"""
+from __future__ import annotations
+
+from ..config import (CalibConfig, ChannelConfig, EsnConfig, LdpcConfig,
+                      OfdmConfig, PaConfig, SimConfig)
+
+_EBNO_FULL = tuple(float(x) for x in range(0, 31, 3))
+_EBNO_FAST = (0.0, 6.0, 12.0, 18.0, 24.0)
+
+
+def siso_qpsk_awgn(fast: bool = False) -> SimConfig:
+    """Demo_SISO_QPSK_AWGN_LDPC_ESN_with_ZF_LS.py:100-148 — SISO QPSK over a
+    flat unit-magnitude channel, CP=0, one training per SNR point."""
+    n_symbols = 100 if fast else 400
+    return SimConfig(
+        name="siso_qpsk_awgn",
+        ofdm=OfdmConfig(n_subcarriers=512, bits_per_symbol=2,
+                        bits_per_pilot_symbol=2, isi_duration=1,
+                        coherence_override=n_symbols),
+        channel=ChannelConfig(kind="awgn_flat", n_tx=1, n_rx=1,
+                              flat_scalar_ls=True),
+        esn=EsnConfig(n_reservoir=200, min_delay=0, max_delay=0,
+                      train_ebno_fixed_db=None),
+        ldpc=LdpcConfig(max_iter=100, yobs_half=False, sigma2_mode="true_no"),
+        ebno_db=_EBNO_FAST if fast else _EBNO_FULL,
+        num_ofdm_symbols=n_symbols)
+
+
+def _nbf(name, n_tx, n_rx, n_reservoir, n_symbols, fast) -> SimConfig:
+    n = 256 if fast else 512
+    return SimConfig(
+        name=name,
+        ofdm=OfdmConfig(n_subcarriers=n, bits_per_symbol=4),
+        channel=ChannelConfig(kind="exp_pdp", n_tx=n_tx, n_rx=n_rx),
+        esn=EsnConfig(n_reservoir=300 if fast else n_reservoir),
+        ldpc=LdpcConfig(max_iter=80 if fast else 100,
+                        decode_every=8 if fast else 4),
+        ebno_db=_EBNO_FAST if fast else _EBNO_FULL,
+        num_ofdm_symbols=(80 if fast else n_symbols))
+
+
+def siso_nbf(fast: bool = False) -> SimConfig:
+    """OFDM_SISO_NBF_LDPC.py:114-203 — canonical block-fading pipeline."""
+    return _nbf("siso_nbf", 1, 1, 300, 1000, fast)
+
+
+def simo_1x2_nbf(fast: bool = False) -> SimConfig:
+    """OFDM_SIMO_1-2_NBF_LDPC.py (clone with N_r=2, :133)."""
+    return _nbf("simo_1x2_nbf", 1, 2, 300, 1000, fast)
+
+
+def mimo_2x2_nbf(fast: bool = False) -> SimConfig:
+    """OFDM_MIMO_2-2_NBF_LDPC.py (clone with N_t=N_r=2, :132-133)."""
+    return _nbf("mimo_2x2_nbf", 2, 2, 300, 1000, fast)
+
+
+def mimo_4x8_nbf(fast: bool = False) -> SimConfig:
+    """Demo_MIMO_4x8_ChannelRank_TrainSNR_LDPC_fast.py (4x8, reservoir 600
+    at N=512, 400 symbols, :132-142)."""
+    return _nbf("mimo_4x8_nbf", 4, 8, 600, 400, fast)
+
+
+def mimo_4x8_cdl(fast: bool = False) -> SimConfig:
+    """Demo_MIMO_4x8_Sionna_CDL_ESN_v2.py:180-266 — the flagship: 4x8 over
+    CDL-B (TDL) 300 ns, calibrated LLRs, N=128."""
+    return SimConfig(
+        name="mimo_4x8_cdl",
+        ofdm=OfdmConfig(n_subcarriers=128, bits_per_symbol=4),
+        channel=ChannelConfig(kind="cdl_b", n_tx=4, n_rx=8,
+                              delay_spread_ns=300.0),
+        esn=EsnConfig(n_reservoir=300, train_ebno_fixed_db=None),
+        ldpc=LdpcConfig(max_iter=100),
+        calib=CalibConfig(enabled=True, cal_fraction=0.3),
+        ebno_db=_EBNO_FAST if fast else _EBNO_FULL,
+        num_ofdm_symbols=200 if fast else 1000)
+
+
+PRESETS = {
+    "siso_qpsk_awgn": siso_qpsk_awgn,
+    "siso_nbf": siso_nbf,
+    "simo_1x2_nbf": simo_1x2_nbf,
+    "mimo_2x2_nbf": mimo_2x2_nbf,
+    "mimo_4x8_nbf": mimo_4x8_nbf,
+    "mimo_4x8_cdl": mimo_4x8_cdl,
+}
+
+
+def get_preset(name: str, fast: bool = False) -> SimConfig:
+    return PRESETS[name](fast=fast)

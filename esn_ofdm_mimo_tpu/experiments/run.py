@@ -1,0 +1,60 @@
+"""CLI experiment runner.
+
+    python -m esn_ofdm_mimo_tpu.experiments.run --preset mimo_4x8_cdl \
+        --blocks-per-snr 16 --outdir results/mimo_4x8_cdl [--fast] [--resume]
+
+Replaces the reference's per-script `python <script>.py` entry points with
+one driver over the preset registry (SURVEY.md §7 step 6).
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+from ..parallel import trials_mesh
+from ..parallel.mesh import maybe_init_distributed
+from ..parallel.montecarlo import run_cdl_curve, run_nbf_curve
+from ..utils.checkpoint import SnrCheckpoint
+from ..utils.reporting import save_cdl_results, save_nbf_results
+from .presets import PRESETS, get_preset
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--preset", required=True, choices=sorted(PRESETS))
+    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--blocks-per-snr", type=int, default=None,
+                    help="Monte-Carlo blocks per SNR point "
+                         "(default: reference-equivalent count)")
+    ap.add_argument("--blocks-per-device", type=int, default=2)
+    ap.add_argument("--outdir", default=None)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from per-SNR checkpoints in outdir")
+    args = ap.parse_args(argv)
+
+    maybe_init_distributed()
+    cfg = get_preset(args.preset, fast=args.fast)
+    outdir = args.outdir or f"results/{cfg.name}"
+    blocks = args.blocks_per_snr or cfg.n_blocks
+    mesh = trials_mesh()
+    ckpt = SnrCheckpoint(outdir + "/ckpt") if args.resume else None
+
+    print(f"[run] preset={cfg.name} blocks/snr={blocks} "
+          f"devices={mesh.devices.size} L={cfg.ofdm.coherence_symbols}")
+    t0 = time.time()
+    if cfg.calib.enabled:
+        results = run_cdl_curve(cfg, blocks,
+                                blocks_per_device=args.blocks_per_device,
+                                mesh=mesh, seed=args.seed, checkpoint=ckpt)
+        save_cdl_results(outdir, cfg, results)
+    else:
+        res = run_nbf_curve(cfg, blocks,
+                            blocks_per_device=args.blocks_per_device,
+                            mesh=mesh, seed=args.seed, checkpoint=ckpt)
+        save_nbf_results(outdir, cfg, res)
+    print(f"[run] total {time.time() - t0:.1f}s -> {outdir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,9 @@ from jax.sharding import PartitionSpec as P
 
 from ..config import SimConfig
 from ..pipelines.blockfading import run_nbf_blocks, NbfCounts
+from ..pipelines.cdl import (
+    CdlCalData, CdlCounts, fit_calibrators, run_cdl_cal_blocks,
+    run_cdl_decode_blocks)
 from ..utils.rng import block_keys
 from .mesh import TRIALS_AXIS, trials_mesh
 
@@ -110,6 +113,132 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
                      + " ".join(f"{k}={v:.4g}" for k, v in sorted(ber.items())))
 
     return assemble_curve(cfg, ebnos, acc_per_snr)
+
+
+def make_sharded_cdl_steps(cfg: SimConfig, mesh):
+    """Jitted (cal_step, decode_step) for the CDL calibrated pipeline.
+
+    cal_step psums the uncoded counters but leaves the calibration (llr, bit)
+    tensors sharded over 'trials' — the host gathers them (they are small:
+    ~blocks*D*n_tx*N*m f32) and fits the logistic calibrators once per SNR.
+    """
+
+    def cal_local(ebno_db, bkeys):
+        out = run_cdl_cal_blocks(cfg, ebno_db, bkeys)
+        return CdlCalData(
+            bit_errors=jax.tree.map(
+                lambda x: jax.lax.psum(x, TRIALS_AXIS), out.bit_errors),
+            total_bits=jax.lax.psum(out.total_bits, TRIALS_AXIS),
+            llr=out.llr, bits=out.bits)
+
+    cal_out_specs = CdlCalData(
+        bit_errors={d: P() for d in ("esn", "mmse")},
+        total_bits=P(),
+        llr={d: P(TRIALS_AXIS) for d in ("esn", "mmse")},
+        bits=P(TRIALS_AXIS))
+
+    cal = jax.jit(jax.shard_map(
+        cal_local, mesh=mesh, in_specs=(P(), P(TRIALS_AXIS)),
+        out_specs=cal_out_specs, check_vma=False))
+
+    def dec_local(ebno_db, bkeys, calib):
+        out = run_cdl_decode_blocks(cfg, ebno_db, bkeys, calib)
+        return jax.tree.map(lambda x: jax.lax.psum(x, TRIALS_AXIS), out)
+
+    dec = jax.jit(jax.shard_map(
+        dec_local, mesh=mesh, in_specs=(P(), P(TRIALS_AXIS), P()),
+        out_specs=P(), check_vma=False))
+    return cal, dec
+
+
+def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
+                  blocks_per_device: int = 2, mesh=None,
+                  seed: Optional[int] = None,
+                  progress: Optional[Callable[[str], None]] = print,
+                  checkpoint=None):
+    """SNR sweep of the calibrated CDL pipeline.
+
+    Returns (CurveResult-like dict, calibration params per SNR)."""
+    mesh = mesh if mesh is not None else trials_mesh()
+    n_dev = mesh.devices.size
+    G = n_dev * blocks_per_device
+    rounds = max(1, -(-blocks_per_snr // G))
+    cal_rounds = max(1, round(rounds * cfg.calib.cal_fraction))
+    dec_rounds = max(1, rounds - cal_rounds)
+    seed = cfg.seed if seed is None else seed
+    root = jax.random.PRNGKey(seed)
+    cal_step, dec_step = make_sharded_cdl_steps(cfg, mesh)
+    fit = jax.jit(functools.partial(fit_calibrators, cfg))
+
+    ebnos = np.asarray(cfg.ebno_db, dtype=np.float32)
+    results = []
+    for jj, ebno in enumerate(ebnos):
+        if checkpoint is not None and checkpoint.has(jj):
+            results.append(checkpoint.load(jj))
+            continue
+        uncoded = None
+        llr_acc = {d: [] for d in ("esn", "mmse")}
+        bits_acc = []
+        bid = 0
+        for r in range(cal_rounds):
+            ids = jnp.arange(bid, bid + G, dtype=jnp.uint32)
+            bid += G
+            out = cal_step(jnp.float32(ebno), block_keys(root, jj, ids))
+            cnt = {"bit_errors": jax.device_get(out.bit_errors),
+                   "total_bits": int(out.total_bits)}
+            uncoded = cnt if uncoded is None else {
+                "bit_errors": {k: uncoded["bit_errors"][k] + cnt["bit_errors"][k]
+                               for k in cnt["bit_errors"]},
+                "total_bits": uncoded["total_bits"] + cnt["total_bits"]}
+            m = cfg.ofdm.bits_per_symbol
+            for d in llr_acc:
+                llr_acc[d].append(
+                    np.asarray(jax.device_get(out.llr[d])).reshape(-1, m))
+            bits_acc.append(
+                np.asarray(jax.device_get(out.bits)).reshape(-1, m))
+        llr_cat = {d: jnp.asarray(np.concatenate(llr_acc[d])) for d in llr_acc}
+        bits_cat = jnp.asarray(np.concatenate(bits_acc))
+        calib = jax.device_get(fit(llr_cat, bits_cat))
+        calib = {d: (jnp.asarray(a), jnp.asarray(b)) for d, (a, b) in calib.items()}
+
+        coded = None
+        for r in range(dec_rounds):
+            ids = jnp.arange(bid, bid + G, dtype=jnp.uint32)
+            bid += G
+            out = dec_step(jnp.float32(ebno), block_keys(root, jj, ids), calib)
+            cnt = jax.device_get(out)
+            if coded is None:
+                coded = cnt
+            else:
+                coded = CdlCounts(
+                    bit_errors={k: coded.bit_errors[k] + cnt.bit_errors[k]
+                                for k in cnt.bit_errors},
+                    total_bits=coded.total_bits + cnt.total_bits,
+                    info_errors={k: coded.info_errors[k] + cnt.info_errors[k]
+                                 for k in cnt.info_errors},
+                    total_info_bits=coded.total_info_bits + cnt.total_info_bits)
+
+        tot_unc = uncoded["total_bits"] + int(coded.total_bits)
+        snr_res = {
+            "ebno_db": float(ebno),
+            "ber_uncoded": {
+                d: (int(uncoded["bit_errors"][d]) + int(coded.bit_errors[d]))
+                / tot_unc for d in ("esn", "mmse")},
+            "ber_coded": {
+                d: int(coded.info_errors[d]) / max(int(coded.total_info_bits), 1)
+                for d in ("esn", "mmse")},
+            "calib": {d: (np.asarray(calib[d][0]).tolist(),
+                          np.asarray(calib[d][1]).tolist())
+                      for d in calib},
+        }
+        results.append(snr_res)
+        if checkpoint is not None:
+            checkpoint.save(jj, snr_res)
+        if progress is not None:
+            progress(f"[cdl] EbNo={ebno:g} dB: "
+                     f"uncoded {snr_res['ber_uncoded']}, "
+                     f"coded {snr_res['ber_coded']}")
+    return results
 
 
 def assemble_curve(cfg: SimConfig, ebnos, acc_per_snr) -> CurveResult:

@@ -88,11 +88,14 @@ def run_nbf_blocks(cfg: SimConfig, ebno_db, bkeys,
                              cfg.ldpc.max_iter, 2 * cfg.ldpc.max_iter)
         for name, Xh in data.X_hat.items():
             z = jnp.moveaxis(Xh[:, sel], -1, -2)      # (B, Dd, n_tx, N)
-            sigma2 = est_sigma2_from_decision(z, m)   # per-stream (:480)
+            if cfg.ldpc.sigma2_mode == "true_no":
+                sigma2 = jnp.asarray(No)              # Demo_SISO...:283
+            else:
+                sigma2 = est_sigma2_from_decision(z, m)  # per-stream (:480)
             llr = qam_llrs_maxlog(z, sigma2, m)       # (B, Dd, n_tx, N, m)
             llr = llr.reshape(B, Dd, n_tx, N * m) * cfg.ldpc.llr_scale
             llr = jnp.clip(llr, -cfg.ldpc.llr_clip, cfg.ldpc.llr_clip)
-            y_obs = llr / 2.0
+            y_obs = llr / 2.0 if cfg.ldpc.yobs_half else llr
             Lc = llr_from_yobs(y_obs, snr_db=1.0)
             d_hat = ldpc_decode_bp(code, Lc.reshape(-1, N * m), max_iter)
             u_hat = d_hat[:, code.m:].reshape(B, Dd, n_tx, code.k)

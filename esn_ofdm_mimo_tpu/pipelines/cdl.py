@@ -1,0 +1,144 @@
+"""4x8 CDL-B coded/uncoded pipeline with per-bit LLR calibration.
+
+Re-design of the reference flagship experiment
+(Demo_MIMO_4x8_Sionna_CDL_ESN_v2.py, results in BASELINE.md §1):
+  * CDL-B (TDL) block-fading channel, single SNR-matched ESN, MMSE baseline;
+  * uncoded BER counted on every data symbol (:450-456);
+  * the first `cal_fraction` of symbols accumulate (llr, bit) pairs per bit
+    position (:476-482); per-bit 1-D logistic calibrators p=sigmoid(a*llr+b)
+    are fit by full-batch GD (:105-119, 513-523);
+  * remaining symbols decode with calibrated LLRs
+    clip(-(a*llr+b), ±clip), y_obs = llr/2, pyldpc contract snr=1 (:483-506).
+
+Phase split is by coherence *blocks* here (the reference splits by symbol
+index; blocks are i.i.d. so the statistics are identical) which keeps every
+phase a clean batched/sharded computation.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..ldpc import make_regular_ldpc, ldpc_decode_bp, llr_from_yobs
+from ..ops import symbols_to_bits_hard, qam_llrs_maxlog, est_sigma2_from_decision
+from .common import synth_block, detect_data_symbols, data_bits_for_blocks
+
+CDL_DETECTORS = ("esn", "mmse")
+
+
+class CdlCalData(NamedTuple):
+    bit_errors: dict            # uncoded code-bit errors per detector
+    total_bits: jnp.ndarray
+    llr: dict                   # detector -> (B, D, n_tx, N, m) raw LLRs
+    bits: jnp.ndarray           # (B, D, n_tx, N, m) true code bits
+
+
+class CdlCounts(NamedTuple):
+    bit_errors: dict
+    total_bits: jnp.ndarray
+    info_errors: dict
+    total_info_bits: jnp.ndarray
+
+
+def _llrs_for(cfg: SimConfig, Xh: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Raw max-log LLRs with the v2 script's stream-averaged sigma^2 (:459)."""
+    z = jnp.moveaxis(Xh, -1, -2)                       # (B, D, n_tx, N)
+    sigma2 = jnp.mean(est_sigma2_from_decision(z, m), axis=-1)  # (B, D)
+    return qam_llrs_maxlog(z, sigma2[..., None], m)    # (B, D, n_tx, N, m)
+
+
+def _uncoded_counts(code_bits, X_hat, m):
+    errs = {}
+    for name, Xh in X_hat.items():
+        z = jnp.moveaxis(Xh, -1, -2)
+        rx = symbols_to_bits_hard(z, m)
+        errs[name] = jnp.sum((rx != code_bits).astype(jnp.int32))
+    return errs
+
+
+def run_cdl_cal_blocks(cfg: SimConfig, ebno_db, bkeys) -> CdlCalData:
+    """Phase A: simulate blocks, return uncoded counts + calibration data."""
+    N, m = cfg.ofdm.n_subcarriers, cfg.ofdm.bits_per_symbol
+    n_tx = cfg.channel.n_tx
+    D = cfg.data_symbols_per_block
+    code = make_regular_ldpc(N * m, cfg.ldpc.dv, cfg.ldpc.dc, cfg.ldpc.seed)
+
+    state = synth_block(cfg, ebno_db, bkeys)
+    code_bits, _ = data_bits_for_blocks(cfg, bkeys, D, code)
+    data = detect_data_symbols(cfg, state, ebno_db, bkeys, code_bits,
+                               CDL_DETECTORS)
+    errs = _uncoded_counts(code_bits, data.X_hat, m)
+    llr = {name: _llrs_for(cfg, Xh, m) for name, Xh in data.X_hat.items()}
+    B = code_bits.shape[0]
+    bits = code_bits.reshape(B, D, n_tx, N, m)
+    return CdlCalData(bit_errors=errs,
+                      total_bits=jnp.asarray(code_bits.size, jnp.int32),
+                      llr=llr, bits=bits)
+
+
+def fit_logreg_1d(x: jnp.ndarray, y: jnp.ndarray, steps: int = 400,
+                  lr: float = 0.1, l2: float = 1e-3) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-bit 1-D logistic regression by full-batch GD (reference :108-119).
+
+    x, y: (..., S) — vectorised over leading axes; returns (a, b) of shape (...)."""
+    a0 = jnp.ones(x.shape[:-1], dtype=jnp.float32)
+    b0 = jnp.zeros(x.shape[:-1], dtype=jnp.float32)
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+
+    def body(_, ab):
+        a, b = ab
+        p = jax.nn.sigmoid(a[..., None] * xf + b[..., None])
+        ga = jnp.mean((p - yf) * xf, axis=-1) + l2 * a
+        gb = jnp.mean(p - yf, axis=-1)
+        return a - lr * ga, b - lr * gb
+
+    return jax.lax.fori_loop(0, steps, body, (a0, b0))
+
+
+def fit_calibrators(cfg: SimConfig, cal: dict, bits) -> dict:
+    """cal: detector -> (S_total, m) LLRs; bits (S_total, m). Returns
+    detector -> (a (m,), b (m,))."""
+    out = {}
+    for name, llr in cal.items():
+        a, b = fit_logreg_1d(llr.T, bits.T, steps=cfg.calib.gd_steps,
+                             lr=cfg.calib.lr, l2=cfg.calib.l2)
+        out[name] = (a, b)
+    return out
+
+
+def run_cdl_decode_blocks(cfg: SimConfig, ebno_db, bkeys,
+                          calib: dict) -> CdlCounts:
+    """Phase B: uncoded counts on every symbol + calibrated-LLR decode of
+    every symbol (reference :483-511)."""
+    N, m = cfg.ofdm.n_subcarriers, cfg.ofdm.bits_per_symbol
+    n_tx = cfg.channel.n_tx
+    D = cfg.data_symbols_per_block
+    code = make_regular_ldpc(N * m, cfg.ldpc.dv, cfg.ldpc.dc, cfg.ldpc.seed)
+
+    state = synth_block(cfg, ebno_db, bkeys)
+    code_bits, info_bits = data_bits_for_blocks(cfg, bkeys, D, code)
+    data = detect_data_symbols(cfg, state, ebno_db, bkeys, code_bits,
+                               CDL_DETECTORS)
+    errs = _uncoded_counts(code_bits, data.X_hat, m)
+
+    B = code_bits.shape[0]
+    info_errors = {}
+    for name, Xh in data.X_hat.items():
+        llr = _llrs_for(cfg, Xh, m)                     # (B, D, n_tx, N, m)
+        a, b = calib[name]                              # (m,), (m,)
+        llr_cal = jnp.clip(-(a * llr + b), -cfg.ldpc.llr_clip,
+                           cfg.ldpc.llr_clip)
+        y_obs = 0.5 * llr_cal.reshape(B, D, n_tx, N * m)
+        Lc = llr_from_yobs(y_obs, snr_db=1.0)
+        d_hat = ldpc_decode_bp(code, Lc.reshape(-1, N * m), cfg.ldpc.max_iter)
+        u_hat = d_hat[:, code.m:].reshape(B, D, n_tx, code.k)
+        info_errors[name] = jnp.sum((u_hat != info_bits).astype(jnp.int32))
+
+    return CdlCounts(bit_errors=errs,
+                     total_bits=jnp.asarray(code_bits.size, jnp.int32),
+                     info_errors=info_errors,
+                     total_info_bits=jnp.asarray(info_bits.size, jnp.int32))

@@ -144,8 +144,17 @@ def synth_block(cfg: SimConfig, ebno_db, bkeys) -> BlockState:
     y_ls_cp = apply_fir_channel(taps, x_ls_cp) + noise
 
     Y_ls = ofdm_demodulate(y_ls_cp, cp)                  # (B, n_rx, N)
-    H_ls, H_mmse = estimate_channel(
-        Y_ls, X_ls, sqrt_pi, n_tx, isi, No, pi)
+    if cfg.channel.flat_scalar_ls:
+        # SISO-AWGN demo: scalar subcarrier-averaged LS estimate, and the
+        # MMSE equalizer uses the TRUE channel (Demo_SISO...:213-216,260-266)
+        h_scalar = jnp.mean(Y_ls / (jnp.swapaxes(X_p, -1, -2) * sqrt_pi),
+                            axis=-1)                     # (B, n_rx)
+        H_ls = jnp.broadcast_to(
+            h_scalar[:, None, :, None], H_true.shape).astype(H_true.dtype)
+        H_mmse = H_true
+    else:
+        H_ls, H_mmse = estimate_channel(
+            Y_ls, X_ls, sqrt_pi, n_tx, isi, No, pi)
 
     # ---- ESN training (batch-shared reservoir, see module docstring) ----
     res = init_reservoir(

@@ -1,0 +1,150 @@
+"""System-model-1 style classification pipeline: train a zoo of symbol
+classifiers on LMMSE-equalized symbols over the 4x8 CDL channel.
+
+Capability re-design of the reference's Sionna pipelines
+(esn_ofdm_mimo_via_cdl.py / esn_via_cdl_all_model.py / system_model_01.ipynb):
+their chain is BinarySource -> 5G-LDPC -> 16QAM -> ResourceGrid -> CDL ->
+LS estimate -> LMMSE equalize -> flatten (re, im) -> 80/20 split -> seven
+classifiers -> SER/BER (reference :240-299). Here the equalized-symbol
+dataset is produced by this framework's own CDL-B link (comb pilots + LS/MMSE
+estimate + LMMSE equalizer — statistically equivalent inputs; documented
+deviation: the reference's exact OFDM resource grid with guard bands and its
+5G-LDPC encoder are not modelled since the classifiers only ever see
+equalized QAM symbols).
+
+The seven detectors and their SER/BER reporting match SURVEY.md §2.2
+(esn_via_cdl_all_model.py rows) and BASELINE.md §2.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..models import classifiers as clf
+from ..models.zoo import train_classifier
+from ..ops.qam import qam_bit_labels, qam_constellation, hard_demap_index
+from ..utils.rng import fold_key
+from .common import data_bits_for_blocks, detect_data_symbols, synth_block
+
+
+class SymbolDataset(NamedTuple):
+    """Equalized symbols with true class labels, flattened to (re, im)."""
+    x: jnp.ndarray        # (S, 2) float32 features
+    labels: jnp.ndarray   # (S,) int32 true constellation indices
+
+
+def make_equalized_dataset(cfg: SimConfig, ebno_db, bkeys) -> SymbolDataset:
+    """Run blocks through the link, LMMSE-equalize, flatten (reference
+    :252-281). Uses the MMSE detector's symbol estimates as features."""
+    m = cfg.ofdm.bits_per_symbol
+    state = synth_block(cfg, ebno_db, bkeys)
+    code_bits, _ = data_bits_for_blocks(cfg, bkeys,
+                                        cfg.data_symbols_per_block, None)
+    data = detect_data_symbols(cfg, state, ebno_db, bkeys, code_bits,
+                               detectors=("mmse",))
+    z = data.X_hat["mmse"].reshape(-1)
+    labels = hard_demap_index(data.X_true.reshape(-1), m)
+    x = jnp.stack([z.real, z.imag], axis=-1).astype(jnp.float32)
+    return SymbolDataset(x=x, labels=labels.astype(jnp.int32))
+
+
+def split_dataset(ds: SymbolDataset, key, train_frac: float = 0.8
+                  ) -> Tuple[SymbolDataset, SymbolDataset]:
+    """Random 80/20 split (reference :268-281)."""
+    S = ds.x.shape[0]
+    perm = jax.random.permutation(key, S)
+    n_tr = int(S * train_frac)
+    tr, te = perm[:n_tr], perm[n_tr:]
+    return (SymbolDataset(ds.x[tr], ds.labels[tr]),
+            SymbolDataset(ds.x[te], ds.labels[te]))
+
+
+def _ser_ber(pred_idx, true_idx, m) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    labels = qam_bit_labels(m)
+    ser = jnp.mean((pred_idx != true_idx).astype(jnp.float32))
+    ber = jnp.mean((labels[pred_idx] != labels[true_idx]).astype(jnp.float32))
+    return ser, ber
+
+
+def train_and_evaluate_zoo(cfg: SimConfig, train: SymbolDataset,
+                           test: SymbolDataset, key,
+                           epochs: int = 200) -> Dict[str, Dict[str, float]]:
+    """Train all seven detectors, return {model: {ser, ber}} on the test set
+    (reference SER/BER tables, esn_via_cdl_all_model.py:453-472)."""
+    m = cfg.ofdm.bits_per_symbol
+    n_classes = 2 ** m
+    results = {}
+
+    # traditional nearest-point demapper
+    z = test.x[:, 0] + 1j * test.x[:, 1]
+    pred = clf.traditional_demap(z, m)
+    ser, ber = _ser_ber(pred, test.labels, m)
+    results["traditional"] = {"ser": float(ser), "ber": float(ber)}
+
+    def eval_logits(apply_fn, params):
+        pred = jnp.argmax(apply_fn(params, test.x), axis=-1)
+        ser, ber = _ser_ber(pred, test.labels, m)
+        return {"ser": float(ser), "ber": float(ber)}
+
+    # ESN single-step (random features + trained softmax readout)
+    k1, k2, k3, k4, k5, k6, key = jax.random.split(key, 7)
+    p_esn = clf.esn_classifier_init(k1, n_res=600, n_classes=n_classes)
+
+    def esn_apply(trainable, x):
+        p = p_esn._replace(W_out=trainable["W_out"], b_out=trainable["b_out"])
+        return clf.esn_classifier_apply(p, x)
+
+    tr = train_classifier(esn_apply, clf.esn_classifier_trainable(p_esn),
+                          train.x, train.labels, epochs=epochs, l2=1e-6)
+    results["esn"] = eval_logits(esn_apply, tr.params)
+
+    # DeepESN (random features -> trainable ReLU head)
+    p_desn = clf.deep_esn_init(k2, n_res=600, n_classes=n_classes)
+
+    def desn_apply(hidden, x):
+        return clf.deep_esn_apply(p_desn._replace(hidden=hidden), x)
+
+    tr = train_classifier(desn_apply, p_desn.hidden, train.x, train.labels,
+                          epochs=epochs)
+    results["deep_esn"] = eval_logits(desn_apply, tr.params)
+
+    # FNN / CNN / RNN
+    for name, init_fn, apply_fn, kk in (
+            ("fnn", clf.fnn_classifier_init, clf.fnn_classifier_apply, k3),
+            ("cnn", clf.cnn_classifier_init, clf.cnn_classifier_apply, k4),
+            ("rnn", clf.rnn_classifier_init, clf.rnn_classifier_apply, k5)):
+        params = init_fn(kk, n_classes=n_classes)
+        tr = train_classifier(apply_fn, params, train.x, train.labels,
+                              epochs=epochs)
+        results[name] = eval_logits(apply_fn, tr.params)
+
+    # ELM closed form
+    p_elm = clf.elm_classifier_init(k6, n_hidden=600, n_classes=n_classes)
+    p_elm = clf.elm_classifier_fit(p_elm, train.x, train.labels, n_classes)
+    pred = clf.elm_classifier_predict(p_elm, test.x)
+    ser, ber = _ser_ber(pred, test.labels, m)
+    results["elm"] = {"ser": float(ser), "ber": float(ber)}
+
+    return results
+
+
+def run_classification_experiment(cfg: SimConfig, blocks: int = 8,
+                                  epochs: int = 200, seed: int = 0
+                                  ) -> Dict[float, Dict[str, Dict[str, float]]]:
+    """Full SER/BER-vs-SNR sweep of the classifier zoo."""
+    from ..utils.rng import block_keys
+    root = jax.random.PRNGKey(seed)
+    out = {}
+    for jj, ebno in enumerate(cfg.ebno_db):
+        bkeys = block_keys(root, jj, jnp.arange(blocks, dtype=jnp.uint32))
+        ds = jax.jit(lambda e, k: make_equalized_dataset(cfg, e, k))(
+            jnp.float32(ebno), bkeys)
+        ktr = fold_key(root, 77, jj)
+        train, test = split_dataset(ds, ktr)
+        out[float(ebno)] = train_and_evaluate_zoo(cfg, train, test,
+                                                  fold_key(root, 88, jj),
+                                                  epochs=epochs)
+    return out

@@ -14,7 +14,18 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+
+# The axon TPU backend in this container compiles through the relay
+# (PALLAS_AXON_REMOTE_COMPILE); the flag is read by sitecustomize at
+# interpreter start, so if it is missing we re-exec ourselves with it set.
+if (os.environ.get("PALLAS_AXON_POOL_IPS")
+        and os.environ.get("PALLAS_AXON_REMOTE_COMPILE") != "1"
+        and os.environ.get("_BENCH_REEXEC") != "1"):
+    env = dict(os.environ,
+               PALLAS_AXON_REMOTE_COMPILE="1", _BENCH_REEXEC="1")
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 import numpy as np
 

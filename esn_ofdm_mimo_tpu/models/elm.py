@@ -44,7 +44,8 @@ def elm_fit(p: ElmParams, X: jnp.ndarray, Y: jnp.ndarray,
     tr = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None] / nh
     A = A + ridge * tr * jnp.eye(nh, dtype=A.dtype)
     b = jnp.swapaxes(H, -1, -2) @ Y
-    W2 = jnp.linalg.solve(A, b)
+    from ..ops.linalg_mxu import pd_solve_ns
+    W2 = pd_solve_ns(A, b, iters=40)
     return p._replace(W2=W2)
 
 

@@ -124,25 +124,28 @@ def _readout_lstsq(ext: jnp.ndarray, tgt: jnp.ndarray,
 
     ext (B, R, F), tgt (B, R, n_out) -> Wt_out (B, F, n_out).
 
-    Ridge-regularised normal equations + Cholesky + one step of iterative
-    refinement. When the system is wide (F > R, e.g. the 4x8@N=512 config with
-    a 600-unit reservoir and only ~512 training rows) the *dual* form
+    Ridge-regularised normal equations solved by Newton-Schulz iteration
+    (ops/linalg_mxu.pd_solve_ns — pure matmuls, no Cholesky custom call, the
+    right lowering for both the axon backend and MXU throughput), plus one
+    step of iterative refinement against the original LS operator. When the
+    system is wide (F > R, e.g. the 4x8@N=512 config with a 600-unit
+    reservoir and only ~512 training rows) the *dual* form
     ext^T (ext ext^T + λI)^{-1} tgt is used — as λ→0 both forms converge to
     the minimum-norm pinv solution pyESN computes (pyESN.py:191).
     """
+    from ..ops.linalg_mxu import pd_solve_ns
     _, R, F = ext.shape
 
-    def _chol(A):
+    def _jittered(A):
         n = A.shape[-1]
         tr = jnp.trace(A, axis1=-2, axis2=-1) / n
-        A = A + (rel_jitter * tr)[:, None, None] * jnp.eye(n, dtype=A.dtype)
-        return jnp.linalg.cholesky(A)
+        return A + (rel_jitter * tr)[:, None, None] * jnp.eye(n, dtype=A.dtype)
 
     if F <= R:  # tall: primal normal equations (F x F gram)
-        chol = _chol(jnp.einsum("brf,brg->bfg", ext, ext))
+        A = _jittered(jnp.einsum("brf,brg->bfg", ext, ext))
 
         def solve(rhs):
-            return jax.scipy.linalg.cho_solve((chol, True), rhs)
+            return pd_solve_ns(A, rhs, iters=40, refine=2)
 
         b = jnp.einsum("brf,bro->bfo", ext, tgt)
         x = solve(b)
@@ -154,10 +157,10 @@ def _readout_lstsq(ext: jnp.ndarray, tgt: jnp.ndarray,
         return x + solve(resid)
 
     # wide: dual/kernel form (R x R gram), min-norm solution
-    chol = _chol(jnp.einsum("brf,bsf->brs", ext, ext))
+    K = _jittered(jnp.einsum("brf,bsf->brs", ext, ext))
 
     def solve(rhs):
-        return jax.scipy.linalg.cho_solve((chol, True), rhs)
+        return pd_solve_ns(K, rhs, iters=40, refine=2)
 
     def apply_K(z):  # K @ z recomputed from ext to dodge gram rounding
         return jnp.einsum("brf,bso,bsf->bro", ext, z, ext)

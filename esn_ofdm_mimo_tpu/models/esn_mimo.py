@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .esn import EsnReservoir, EsnScale, esn_fit, esn_predict
+from ..ops.fft_mxu import fft_mxu
 
 
 def _interleave_reim(z: jnp.ndarray) -> jnp.ndarray:
@@ -84,7 +85,7 @@ def esn_detect_symbols(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
     n_forget = delay + cp_len
     pred = esn_predict(res, scale, Wt_out, X_in, n_forget, key)  # (B, T-d-cp, 2n_tx)
     x_hat_td = _deinterleave_reim(pred[:, :N])       # (B, n_tx, N)
-    X_hat = jnp.fft.fft(x_hat_td, axis=-1) / N
+    X_hat = fft_mxu(x_hat_td, axis=-1) / N
     X_hat = X_hat / jnp.asarray(power_scale)[..., None, None]
     return jnp.moveaxis(X_hat, -2, -1)               # (B, N, n_tx)
 

@@ -13,6 +13,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from .linalg_mxu import svdvals_small
+
 
 class SvdMetrics(NamedTuple):
     capacity_per_sc: jnp.ndarray   # (...,) mean over subcarriers
@@ -24,7 +26,9 @@ def channel_svd_metrics(H: jnp.ndarray, power_per_sc, noise_psd: float,
                         normalize_by_ntx: bool = True) -> SvdMetrics:
     """H (..., N, n_rx, n_tx). Batched SVD over all subcarriers at once."""
     n_tx = H.shape[-1]
-    S = jnp.linalg.svd(H, compute_uv=False)  # (..., N, min(nr,nt))
+    # complex SVD lowers to complex matmuls (unsupported on axon); singular
+    # values come from cyclic-Jacobi on the real-embedded Gram instead
+    S = svdvals_small(H)                      # (..., N, n_tx) descending
     s2 = S**2
     gamma = jnp.asarray(power_per_sc) / noise_psd
     if normalize_by_ntx:

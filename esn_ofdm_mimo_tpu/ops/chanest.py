@@ -16,6 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .channel import exp_pdp
+from .fft_mxu import fft_mxu, ifft_mxu
 
 
 def _interp_comb_linear(values: jnp.ndarray, offset: int, step: int,
@@ -65,12 +66,12 @@ def mmse_refine_td(H_ls: jnp.ndarray, isi_duration: int, noise_psd: float,
     N = H_ls.shape[-3]
     pdp = exp_pdp(isi_duration)  # diagonal of R_h
     mmse_scaler = (noise_psd / jnp.asarray(power_per_sc)) / (N / 2.0)
-    c_ls = jnp.fft.ifft(H_ls, axis=-3)[..., :isi_duration, :, :]
+    c_ls = ifft_mxu(H_ls, axis=-3)[..., :isi_duration, :, :]
     # (scaler/pdp + 1)^-1 elementwise since R_h is diagonal
     gain = 1.0 / (mmse_scaler[..., None, None, None] / pdp[:, None, None] + 1.0)
     c_mmse = c_ls * gain
     pad = [(0, 0)] * (c_mmse.ndim - 3) + [(0, N - isi_duration), (0, 0), (0, 0)]
-    return jnp.fft.fft(jnp.pad(c_mmse, pad), axis=-3)
+    return fft_mxu(jnp.pad(c_mmse, pad), axis=-3)
 
 
 def estimate_channel(Y_ls, X_ls_comb, power_scale, n_tx, isi_duration,

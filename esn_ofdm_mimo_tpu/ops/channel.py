@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .fft_mxu import fft_mxu
+
 # 3GPP TR 38.901 (Rel-16) Table 7.7.2-2: TDL-B normalized delays and powers.
 TDLB_NORM_DELAYS = np.array([
     0.0000, 0.1072, 0.2155, 0.2095, 0.2870, 0.2986, 0.3752, 0.5055, 0.3681,
@@ -86,9 +88,13 @@ def draw_cdlb_taps(key, n_rx: int, n_tx: int, isi_duration: int,
     n_paths = pow_lin.shape[0]
     kr, ki = jax.random.split(key)
     shape = (n_rx, n_tx, n_paths)
-    g = (jax.random.normal(kr, shape) + 1j * jax.random.normal(ki, shape))
-    g = g / np.sqrt(2.0) * jnp.sqrt(pow_lin)
-    h = jnp.einsum("rtp,pi->rti", g, split.astype(g.dtype))
+    gr = jax.random.normal(kr, shape) / np.sqrt(2.0) * jnp.sqrt(pow_lin)
+    gi = jax.random.normal(ki, shape) / np.sqrt(2.0) * jnp.sqrt(pow_lin)
+    # complex gains x real split matrix as two real einsums (no complex
+    # matmul — unsupported on the axon TPU backend, and real matmuls are the
+    # native MXU path anyway)
+    h = (jnp.einsum("rtp,pi->rti", gr, split)
+         + 1j * jnp.einsum("rtp,pi->rti", gi, split))
     power = jnp.sum(jnp.abs(h) ** 2, axis=-1, keepdims=True)
     h = h / jnp.sqrt(jnp.maximum(power, 1e-30))
     return h.astype(jnp.complex64)
@@ -113,10 +119,22 @@ def apply_fir_channel(taps: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """
     isi = taps.shape[-1]
     T = x.shape[-1]
-    y = jnp.einsum("...rt,...tn->...rn", taps[..., 0], x)
+
+    def cmul_contract(t_k, xs):
+        # complex (..., n_rx, n_tx) x (..., n_tx, T) -> (..., n_rx, T) via
+        # real einsums only (axon TPU lacks complex matmul)
+        tr, ti = jnp.real(t_k), jnp.imag(t_k)
+        xr, xi = jnp.real(xs), jnp.imag(xs)
+        yr = (jnp.einsum("...rt,...tn->...rn", tr, xr)
+              - jnp.einsum("...rt,...tn->...rn", ti, xi))
+        yi = (jnp.einsum("...rt,...tn->...rn", tr, xi)
+              + jnp.einsum("...rt,...tn->...rn", ti, xr))
+        return yr + 1j * yi
+
+    y = cmul_contract(taps[..., 0], x)
     for k in range(1, isi):
         xs = jnp.pad(x[..., : T - k], [(0, 0)] * (x.ndim - 1) + [(k, 0)])
-        y = y + jnp.einsum("...rt,...tn->...rn", taps[..., k], xs)
+        y = y + cmul_contract(taps[..., k], xs)
     return y
 
 
@@ -124,7 +142,7 @@ def taps_to_freq_response(taps: jnp.ndarray, n_subcarriers: int) -> jnp.ndarray:
     """taps (..., n_rx, n_tx, isi) -> H (..., N, n_rx, n_tx) = fft(pad(c, N))."""
     isi = taps.shape[-1]
     pad = [(0, 0)] * (taps.ndim - 1) + [(0, n_subcarriers - isi)]
-    H = jnp.fft.fft(jnp.pad(taps, pad), axis=-1)
+    H = fft_mxu(jnp.pad(taps, pad), axis=-1)
     return jnp.moveaxis(H, -1, -3)
 
 

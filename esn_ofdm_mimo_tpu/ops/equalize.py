@@ -1,25 +1,45 @@
-"""Per-subcarrier ZF/MMSE equalization as batched linear solves.
+"""Per-subcarrier ZF/MMSE equalization as batched real-embedded solves.
 
 Reference OFDM_SISO_NBF_LDPC.py:41-53 (per-subcarrier Python loop :450-460 is
-replaced by one batched `jnp.linalg.solve` over all subcarriers/batches):
+replaced by one batched solve over all subcarriers/batches):
   ZF:   solve(H^H H + 1e-12 I, H^H y) / sqrt(Pi)
   MMSE: solve(H^H H + (No/Pi) I, H^H y) / sqrt(Pi)
+
+TPU design: the complex n_tx x n_tx system is solved through its real
+2n_tx x 2n_tx embedding with unrolled Gauss-Jordan (ops/linalg_mxu) — the
+axon backend lacks complex matmul and LU/Cholesky custom calls, and at these
+tiny, massively-batched shapes unrolled elimination is the faster lowering on
+any TPU. The normal equations are themselves formed in the real embedding:
+He = [[Hr, -Hi], [Hi, Hr]] satisfies He^T He = embed(H^H H) and
+He^T ye = embed(H^H y).
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .linalg_mxu import gauss_solve_real
+
+
+def _embed_H(H: jnp.ndarray) -> jnp.ndarray:
+    Hr, Hi = jnp.real(H), jnp.imag(H)
+    top = jnp.concatenate([Hr, -Hi], axis=-1)
+    bot = jnp.concatenate([Hi, Hr], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)   # (..., 2n_rx, 2n_tx)
+
 
 def _regularized_solve(H: jnp.ndarray, y: jnp.ndarray, reg) -> jnp.ndarray:
     """solve(H^H H + reg*I, H^H y) batched over leading axes.
 
-    H (..., n_rx, n_tx), y (..., n_rx), reg broadcastable scalar.
+    H (..., n_rx, n_tx) complex, y (..., n_rx) complex, reg real scalar.
     """
     n_tx = H.shape[-1]
-    Hh = jnp.conj(jnp.swapaxes(H, -1, -2))
-    G = Hh @ H + jnp.asarray(reg)[..., None, None] * jnp.eye(n_tx, dtype=H.dtype)
-    rhs = (Hh @ y[..., None])[..., 0]
-    return jnp.linalg.solve(G, rhs[..., None])[..., 0]
+    He = _embed_H(H)                               # (..., 2nr, 2nt)
+    ye = jnp.concatenate([jnp.real(y), jnp.imag(y)], axis=-1)[..., None]
+    G = jnp.einsum("...ij,...ik->...jk", He, He)
+    G = G + jnp.asarray(reg)[..., None, None] * jnp.eye(2 * n_tx, dtype=G.dtype)
+    rhs = jnp.einsum("...ij,...ik->...jk", He, ye)  # (..., 2nt, 1)
+    xe = gauss_solve_real(G, rhs)[..., 0]
+    return xe[..., :n_tx] + 1j * xe[..., n_tx:]
 
 
 def equalize_zf(Y: jnp.ndarray, H: jnp.ndarray, power_scale) -> jnp.ndarray:
@@ -37,7 +57,7 @@ def equalize_mmse(Y: jnp.ndarray, H: jnp.ndarray, power_scale,
 
 def equalize_persc(Y: jnp.ndarray, H: jnp.ndarray, power_scale,
                    noise_over_power=None) -> jnp.ndarray:
-    """Equalize a full OFDM symbol: Y (..., N, n_rx)?? — convenience wrapper.
+    """Equalize a full OFDM symbol.
 
     Y (..., n_rx, N) and H (..., N, n_rx, n_tx); returns X_hat (..., N, n_tx).
     ZF when noise_over_power is None, else MMSE.

@@ -21,11 +21,17 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=None)
-def _dft_mats(n: int):
+def _dft_mats_np(n: int):
+    # cache NumPy (never jnp: a jnp constant created inside a traced region
+    # would leak a tracer through the cache)
     k = np.arange(n)
     ang = -2.0 * np.pi * np.outer(k, k) / n
-    return (jnp.asarray(np.cos(ang), dtype=jnp.float32),
-            jnp.asarray(np.sin(ang), dtype=jnp.float32))
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+def _dft_mats(n: int):
+    C, S = _dft_mats_np(n)
+    return jnp.asarray(C), jnp.asarray(S)
 
 
 def fft_mxu(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:

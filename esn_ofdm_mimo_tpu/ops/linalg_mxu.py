@@ -36,6 +36,9 @@ def gauss_solve_real(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     A (..., n, n), b (..., n, k); n is static and small (<= 16).
     """
     n = A.shape[-1]
+    lead = jnp.broadcast_shapes(A.shape[:-2], b.shape[:-2])
+    A = jnp.broadcast_to(A, (*lead, *A.shape[-2:]))
+    b = jnp.broadcast_to(b, (*lead, *b.shape[-2:]))
     M = jnp.concatenate([A, b], axis=-1)  # (..., n, n+k)
     for col in range(n):
         piv = jnp.argmax(jnp.abs(M[..., col:, col]), axis=-1) + col  # (...,)
@@ -77,21 +80,30 @@ def pd_solve_ns(A: jnp.ndarray, b: jnp.ndarray, iters: int = 30,
     A (..., F, F) real SPD, b (..., F, k). X_{t+1} = X_t (2I - A X_t)
     converges quadratically with X_0 = A^T / (||A||_1 ||A||_inf); a couple of
     refinement steps against A polish the solution.
+
+    The system is Jacobi-prescaled (A -> D^-1/2 A D^-1/2 with D = diag(A)):
+    the grams this framework produces mix features of very different scales
+    (reservoir states O(1) vs scaled inputs O(1e-2)), and diagonal scaling
+    removes that part of the conditioning before the iteration starts.
     """
     F = A.shape[-1]
-    norm1 = jnp.max(jnp.sum(jnp.abs(A), axis=-2), axis=-1)
-    norminf = jnp.max(jnp.sum(jnp.abs(A), axis=-1), axis=-1)
-    X = jnp.swapaxes(A, -1, -2) / (norm1 * norminf)[..., None, None]
+    d = jnp.diagonal(A, axis1=-2, axis2=-1)
+    s = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-30))           # (..., F)
+    As = A * s[..., :, None] * s[..., None, :]
+    bs = b * s[..., :, None]
+    norm1 = jnp.max(jnp.sum(jnp.abs(As), axis=-2), axis=-1)
+    norminf = jnp.max(jnp.sum(jnp.abs(As), axis=-1), axis=-1)
+    X = jnp.swapaxes(As, -1, -2) / (norm1 * norminf)[..., None, None]
     I2 = 2.0 * jnp.eye(F, dtype=A.dtype)
 
     def body(_, X):
-        return X @ (I2 - A @ X)
+        return X @ (I2 - As @ X)
 
     X = jax.lax.fori_loop(0, iters, body, X)
-    x = X @ b
+    x = X @ bs
     for _ in range(refine):
-        x = x + X @ (b - A @ x)
-    return x
+        x = x + X @ (bs - As @ x)
+    return x * s[..., :, None]
 
 
 def _jacobi_sweeps_sym(G: jnp.ndarray, sweeps: int = 8) -> jnp.ndarray:
@@ -138,8 +150,13 @@ def svdvals_small(H: jnp.ndarray, sweeps: int = 8) -> jnp.ndarray:
     singular values.
     """
     n_t = H.shape[-1]
-    G = jnp.einsum("...ij,...ik->...jk", jnp.conj(H), H)
-    Ge = _real_embed(G)
+    # real-embedded Gram directly (no complex matmul): with
+    # He = [[Hr, -Hi], [Hi, Hr]], He^T He == embed(H^H H)
+    Hr, Hi = jnp.real(H), jnp.imag(H)
+    He = jnp.concatenate(
+        [jnp.concatenate([Hr, -Hi], axis=-1),
+         jnp.concatenate([Hi, Hr], axis=-1)], axis=-2)
+    Ge = jnp.einsum("...ij,...ik->...jk", He, He)
     ev = _jacobi_sweeps_sym(Ge, sweeps)
     ev = jnp.sort(ev, axis=-1)[..., ::-1]          # (..., 2*n_t) desc
     ev_unique = ev[..., ::2]                       # duplicated pairs

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .fft_mxu import fft_mxu, ifft_mxu
+
 
 def ofdm_modulate(X: jnp.ndarray, cp_len: int, power_scale=None) -> jnp.ndarray:
     """Frequency symbols (..., N) -> time-domain with CP (..., N+cp).
@@ -20,7 +22,7 @@ def ofdm_modulate(X: jnp.ndarray, cp_len: int, power_scale=None) -> jnp.ndarray:
     the reference's `* sqrt(Pi)` after CP insertion.
     """
     n = X.shape[-1]
-    x = n * jnp.fft.ifft(X, axis=-1)
+    x = n * ifft_mxu(X, axis=-1)
     x_cp = add_cp(x, cp_len)
     if power_scale is not None:
         x_cp = x_cp * jnp.asarray(power_scale)[..., None]
@@ -31,7 +33,7 @@ def ofdm_demodulate(y_cp: jnp.ndarray, cp_len: int) -> jnp.ndarray:
     """Time-domain with CP (..., N+cp) -> frequency symbols (..., N)."""
     y = remove_cp(y_cp, cp_len)
     n = y.shape[-1]
-    return jnp.fft.fft(y, axis=-1) / n
+    return fft_mxu(y, axis=-1) / n
 
 
 def add_cp(x: jnp.ndarray, cp_len: int) -> jnp.ndarray:

@@ -48,11 +48,13 @@ def _bench_tpu(n_blocks: int = 8, iters: int = 3) -> float:
     root = jax.random.PRNGKey(0)
     keys = block_keys(root, 0, jnp.arange(n_blocks, dtype=jnp.uint32))
     ebno = jnp.float32(12.0)
-    jax.block_until_ready(step(ebno, keys))  # compile
+    # warm up: compile + first execution. NOTE: on the axon backend
+    # block_until_ready does not block reliably; jax.device_get is the sync.
+    jax.device_get(step(ebno, keys))
     t0 = time.perf_counter()
     for i in range(iters):
         keys_i = block_keys(root, i + 1, jnp.arange(n_blocks, dtype=jnp.uint32))
-        jax.block_until_ready(step(ebno, keys_i))
+        jax.device_get(step(ebno, keys_i))
     dt = (time.perf_counter() - t0) / iters
     symbols = n_blocks * (D + 1)  # pilot + data symbols per block
     return symbols / dt

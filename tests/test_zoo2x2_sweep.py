@@ -1,0 +1,48 @@
+"""2x2 model-zoo pipeline + ESN sweep driver tests (tiny configs)."""
+import dataclasses
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from esn_ofdm_mimo_tpu.config import (
+    SimConfig, OfdmConfig, ChannelConfig, EsnConfig, LdpcConfig)
+from esn_ofdm_mimo_tpu.pipelines.zoo2x2 import run_zoo_blocks
+from esn_ofdm_mimo_tpu.utils.rng import block_keys
+
+
+def _cfg():
+    return SimConfig(
+        name="zoo_tiny",
+        ofdm=OfdmConfig(n_subcarriers=32, bits_per_symbol=4, doppler_hz=3000.0),
+        channel=ChannelConfig(kind="exp_pdp", n_tx=2, n_rx=2),
+        esn=EsnConfig(n_reservoir=50, train_ebno_fixed_db=None),
+        ldpc=LdpcConfig(enabled=False),
+        ebno_db=(15.0,))
+
+
+def test_zoo_pipeline_all_detectors():
+    cfg = _cfg()
+    keys = block_keys(jax.random.PRNGKey(0), 0, jnp.arange(2, dtype=jnp.uint32))
+    out = jax.jit(lambda e, k: run_zoo_blocks(cfg, e, k, epochs=15))(
+        jnp.float32(15.0), keys)
+    ber = {k: float(v) / float(out.total_bits) for k, v in out.bit_errors.items()}
+    assert set(ber) == {"esn", "zf_perfect", "zf_ls", "mmse", "cnn", "rnn",
+                        "fnn", "elm"}
+    # trained models approach/beat coin-flipping (15 epochs is a smoke-test
+    # budget; the reference's CNN/RNN are similarly weak at low budgets),
+    # classical detectors clearly better
+    for k, v in ber.items():
+        assert v < 0.55, (k, v)
+    assert ber["zf_perfect"] < 0.3
+    assert ber["elm"] < 0.45
+
+
+def test_sweep_driver_one_point():
+    from esn_ofdm_mimo_tpu.experiments.sweep import run_sweep, SWEEPS
+    base = _cfg()
+    # restrict to two sweep values for speed
+    SWEEPS["spectral"] = (0.7, 0.9)
+    res = run_sweep("spectral", ebno_db=15.0, blocks=2, base_cfg=base)
+    assert len(res) == 2
+    for v in res.values():
+        assert 0.0 <= v <= 0.6

@@ -28,4 +28,13 @@ Layer map (mirrors SURVEY.md §1 for the reference, redesigned):
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU matmuls default to bf16 MXU passes; this framework's iterative solvers
+# (Newton-Schulz readout solve) and its DFT/equalizer matmuls are
+# precision-sensitive — a bf16 DFT alone would floor the simulated EVM near
+# the BER operating points. Monte-Carlo throughput is still enormous at f32
+# (bench.py), and individual kernels can opt down explicitly where safe.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from . import ops  # noqa: F401

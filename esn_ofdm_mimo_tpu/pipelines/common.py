@@ -147,8 +147,8 @@ def synth_block(cfg: SimConfig, ebno_db, bkeys) -> BlockState:
     if cfg.channel.flat_scalar_ls:
         # SISO-AWGN demo: scalar subcarrier-averaged LS estimate, and the
         # MMSE equalizer uses the TRUE channel (Demo_SISO...:213-216,260-266)
-        h_scalar = jnp.mean(Y_ls / (jnp.swapaxes(X_p, -1, -2) * sqrt_pi),
-                            axis=-1)                     # (B, n_rx)
+        # SISO only (n_tx == n_rx == 1): Y/(X*sqrt_pi) elementwise over N
+        h_scalar = jnp.mean(Y_ls / (X_p * sqrt_pi), axis=-1)   # (B, n_rx)
         H_ls = jnp.broadcast_to(
             h_scalar[:, None, :, None], H_true.shape).astype(H_true.dtype)
         H_mmse = H_true

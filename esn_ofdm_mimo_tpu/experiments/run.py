@@ -15,6 +15,7 @@ from ..parallel import trials_mesh
 from ..parallel.mesh import maybe_init_distributed
 from ..parallel.montecarlo import run_cdl_curve, run_nbf_curve
 from ..utils.checkpoint import SnrCheckpoint
+from ..utils.metrics import MetricsLogger
 from ..utils.reporting import save_cdl_results, save_nbf_results
 from .presets import PRESETS, get_preset
 
@@ -40,20 +41,24 @@ def main(argv=None) -> None:
     mesh = trials_mesh()
     ckpt = SnrCheckpoint(outdir + "/ckpt") if args.resume else None
 
-    print(f"[run] preset={cfg.name} blocks/snr={blocks} "
-          f"devices={mesh.devices.size} L={cfg.ofdm.coherence_symbols}")
+    log = MetricsLogger(f"{outdir}/events.jsonl")
+    log.log("run_start", preset=cfg.name, blocks_per_snr=blocks,
+            devices=int(mesh.devices.size), L=cfg.ofdm.coherence_symbols)
     t0 = time.time()
+    progress = lambda msg: log.log("progress", msg=msg)
     if cfg.calib.enabled:
         results = run_cdl_curve(cfg, blocks,
                                 blocks_per_device=args.blocks_per_device,
-                                mesh=mesh, seed=args.seed, checkpoint=ckpt)
+                                mesh=mesh, seed=args.seed, checkpoint=ckpt,
+                                progress=progress)
         save_cdl_results(outdir, cfg, results)
     else:
         res = run_nbf_curve(cfg, blocks,
                             blocks_per_device=args.blocks_per_device,
-                            mesh=mesh, seed=args.seed, checkpoint=ckpt)
+                            mesh=mesh, seed=args.seed, checkpoint=ckpt,
+                            progress=progress)
         save_nbf_results(outdir, cfg, res)
-    print(f"[run] total {time.time() - t0:.1f}s -> {outdir}")
+    log.log("run_done", seconds=round(time.time() - t0, 1), outdir=outdir)
 
 
 if __name__ == "__main__":

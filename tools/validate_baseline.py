@@ -1,0 +1,112 @@
+"""Validate a produced 4x8 CDL results_ber.csv against the reference's
+committed numbers (BASELINE.md §1) with the ±0.5 dB criterion.
+
+For every reference (Eb/N0, BER) point in the informative range, find the
+Eb/N0 at which OUR curve reaches the same BER (log-linear interpolation); the
+SNR shift must satisfy |shift| <= tolerance. This is the standard way to
+compare link-level curves (a vertical BER ratio is meaningless on a
+waterfall).
+
+    python tools/validate_baseline.py results/mimo_4x8_cdl_tpu/results_ber.csv
+"""
+from __future__ import annotations
+
+import csv
+import sys
+
+import numpy as np
+
+# BASELINE.md §1 (reference results_ber.csv, CDLB_run_01)
+REF_EBNO = np.arange(0, 31, 3, dtype=float)
+REF = {
+    "esn_uncoded": [0.39036279, 0.35692871, 0.32307422, 0.28086133,
+                    0.24451416, 0.20868408, 0.18600244, 0.16520703,
+                    0.15912158, 0.16198193, 0.15689893],
+    "mmse_uncoded": [0.31961719, 0.25236035, 0.18537695, 0.12928955,
+                     0.07861475, 0.05450439, 0.03449072, 0.02703027,
+                     0.02187158, 0.01991455, 0.01891699],
+    "esn_coded": [0.39208632, 0.35875896, 0.31658439, 0.27583563,
+                  0.24669746, 0.20165058, 0.18246415, 0.15070601,
+                  0.14270270, 0.13496001, 0.12668919],
+    "mmse_coded": [0.31792609, 0.25364865, 0.17010480, 0.07085218,
+                   0.00614451, 1.6271e-4, 0.0, 0.0, 0.0, 0.0, 0.0],
+}
+
+
+def snr_at_ber(ebno, ber, target):
+    """Eb/N0 at which a (decreasing-ish) curve crosses `target` (log interp)."""
+    ber = np.maximum(np.asarray(ber, dtype=float), 1e-9)
+    lb, lt = np.log10(ber), np.log10(max(target, 1e-9))
+    for i in range(len(ebno) - 1):
+        lo, hi = lb[i], lb[i + 1]
+        if (lo - lt) * (hi - lt) <= 0 and lo != hi:
+            w = (lo - lt) / (lo - hi)
+            return ebno[i] + w * (ebno[i + 1] - ebno[i])
+    return None
+
+
+def load_csv(path):
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    ebno = np.array([float(r["EbNo(dB)"]) for r in rows])
+    cols = {k: np.array([float(r[k]) for r in rows])
+            for k in rows[0] if k != "EbNo(dB)"}
+    return ebno, cols
+
+
+def validate(path, tol_db: float = 0.5, ber_range=(2e-3, 0.42), verbose=True):
+    ebno, cols = load_csv(path)
+    mapping = {
+        "esn_uncoded": "ESN_uncoded", "mmse_uncoded": "MMSE_uncoded",
+        "esn_coded": "ESN_coded", "mmse_coded": "MMSE_coded"}
+    failures, checks = [], 0
+    for ref_name, col in mapping.items():
+        ours = cols[col]
+        ref_vals = np.asarray(REF[ref_name])
+        for i, (snr_ref, ber_ref) in enumerate(zip(REF_EBNO, ref_vals)):
+            if not (ber_range[0] <= ber_ref <= ber_range[1]):
+                continue
+            checks += 1
+            # local slope of the reference curve in dB/decade around the point
+            j0, j1 = max(i - 1, 0), min(i + 1, len(REF_EBNO) - 1)
+            dlog = abs(np.log10(max(ref_vals[j1], 1e-9))
+                       - np.log10(max(ref_vals[j0], 1e-9)))
+            dsnr = REF_EBNO[j1] - REF_EBNO[j0]
+            slope = dlog / max(dsnr, 1e-9)          # decades per dB
+            if slope < 0.02:
+                # plateau: an SNR shift is ill-conditioned — compare BER ratio
+                ours_here = np.interp(snr_ref, ebno, ours)
+                ratio = ours_here / max(ber_ref, 1e-9)
+                ok = 1 / 1.35 <= ratio <= 1.35
+                if verbose:
+                    print(f"{ref_name:14s} ref {snr_ref:4.1f} dB @ "
+                          f"{ber_ref:.4g} [plateau] ours {ours_here:.4g} "
+                          f"(ratio {ratio:.2f}) {'OK' if ok else 'FAIL'}")
+                if not ok:
+                    failures.append((ref_name, snr_ref, ber_ref, ratio))
+                continue
+            snr_ours = snr_at_ber(ebno, ours, ber_ref)
+            if snr_ours is None:
+                failures.append((ref_name, snr_ref, ber_ref, None))
+                continue
+            shift = snr_ours - snr_ref
+            ok = abs(shift) <= tol_db
+            if verbose:
+                print(f"{ref_name:14s} ref {snr_ref:4.1f} dB @ {ber_ref:.4g}"
+                      f" -> ours {snr_ours:5.2f} dB (shift {shift:+.2f} dB)"
+                      f" {'OK' if ok else 'FAIL'}")
+            if not ok:
+                failures.append((ref_name, snr_ref, ber_ref, shift))
+    return checks, failures
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else \
+        "results/mimo_4x8_cdl_tpu/results_ber.csv"
+    checks, failures = validate(path)
+    print(f"\n{checks} points checked, {len(failures)} outside ±0.5 dB")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

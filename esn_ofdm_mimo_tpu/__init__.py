@@ -28,7 +28,19 @@ Layer map (mirrors SURVEY.md §1 for the reference, redesigned):
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
+
+# The container's sitecustomize pins jax to the axon TPU backend at
+# interpreter start, which silently overrides a user's JAX_PLATFORMS env var
+# (set e.g. to run experiments on the CPU mesh while the chip is busy).
+# Make the env var authoritative again.
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
 
 # TPU matmuls default to bf16 MXU passes; this framework's iterative solvers
 # (Newton-Schulz readout solve) and its DFT/equalizer matmuls are

@@ -1,0 +1,101 @@
+"""Classification-zoo experiment CLI (system model 1 capability).
+
+    python -m esn_ofdm_mimo_tpu.experiments.classify --fast
+
+Produces the reference's artifact set (esn_via_cdl_all_model.py:453-472):
+ser_vs_snr.pkl / ber_vs_snr.pkl / model_results.pkl, SER + BER curve PNGs,
+a constellation scatter PNG of the equalized symbols, and printed tables.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--blocks", type=int, default=None)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--outdir", default="results/classification")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from ..experiments.presets import mimo_4x8_cdl
+    from ..pipelines.classification import run_classification_experiment
+    import dataclasses
+
+    cfg = mimo_4x8_cdl(fast=args.fast)
+    cfg = dataclasses.replace(
+        cfg, ldpc=dataclasses.replace(cfg.ldpc, enabled=False),
+        ebno_db=(0.0, 10.0, 20.0) if args.fast else
+        tuple(float(x) for x in range(0, 21, 2)))
+    blocks = args.blocks or (2 if args.fast else 8)
+    epochs = args.epochs or (60 if args.fast else 200)
+
+    results = run_classification_experiment(cfg, blocks=blocks, epochs=epochs,
+                                            seed=args.seed)
+    os.makedirs(args.outdir, exist_ok=True)
+    models = sorted(next(iter(results.values())).keys())
+    ser = {m: [results[e][m]["ser"] for e in sorted(results)] for m in models}
+    ber = {m: [results[e][m]["ber"] for e in sorted(results)] for m in models}
+    ebnos = sorted(results)
+    with open(os.path.join(args.outdir, "ser_vs_snr.pkl"), "wb") as f:
+        pickle.dump({"ebno_db": ebnos, "ser": ser}, f)
+    with open(os.path.join(args.outdir, "ber_vs_snr.pkl"), "wb") as f:
+        pickle.dump({"ebno_db": ebnos, "ber": ber}, f)
+    with open(os.path.join(args.outdir, "model_results.pkl"), "wb") as f:
+        pickle.dump(results, f)
+
+    # printed tables, reference style
+    print("\nSER vs Eb/N0")
+    print("model     " + " ".join(f"{e:>9.0f}dB" for e in ebnos))
+    for m in models:
+        print(f"{m:10s}" + " ".join(f"{v:11.6f}" for v in ser[m]))
+    print("\nBER vs Eb/N0")
+    for m in models:
+        print(f"{m:10s}" + " ".join(f"{v:11.6f}" for v in ber[m]))
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        for name, data in (("ser", ser), ("ber", ber)):
+            fig = plt.figure(figsize=(9, 6))
+            for m in models:
+                plt.semilogy(ebnos, np.maximum(data[m], 1e-6), "o-", label=m)
+            plt.grid(True, which="both", ls=":")
+            plt.xlabel("E_b/N_0 [dB]")
+            plt.ylabel(name.upper())
+            plt.legend()
+            plt.tight_layout()
+            fig.savefig(os.path.join(args.outdir, f"{name}_vs_snr.png"), dpi=150)
+            plt.close(fig)
+
+        # constellation scatter of equalized symbols at the top SNR
+        from ..pipelines.classification import make_equalized_dataset
+        from ..utils.rng import block_keys
+        keys = block_keys(jax.random.PRNGKey(args.seed), 99,
+                          jnp.arange(1, dtype=jnp.uint32))
+        ds = make_equalized_dataset(cfg, jnp.float32(ebnos[-1]), keys)
+        pts = np.asarray(ds.x[:4000])
+        lab = np.asarray(ds.labels[:4000])
+        fig = plt.figure(figsize=(6, 6))
+        plt.scatter(pts[:, 0], pts[:, 1], c=lab, s=4, cmap="tab20", alpha=0.6)
+        plt.title(f"Equalized symbols @ {ebnos[-1]:g} dB")
+        plt.xlabel("Re")
+        plt.ylabel("Im")
+        fig.savefig(os.path.join(args.outdir, "constellation_scatter.png"),
+                    dpi=150)
+        plt.close(fig)
+    except Exception as e:  # plotting is best-effort
+        print(f"[warn] plotting failed: {e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -69,11 +69,27 @@ def make_sharded_nbf_step(cfg: SimConfig, mesh) -> Callable:
     return jax.jit(sharded)
 
 
+def _call_with_retry(step, args, retries: int = 2,
+                     progress: Optional[Callable[[str], None]] = None):
+    """Retry a sharded round on transient failures (flaky interconnect /
+    preempted device) — the failure-recovery hook of SURVEY.md §5. Rounds are
+    pure functions of their keys, so a retry is exact."""
+    last = None
+    for attempt in range(retries + 1):
+        try:
+            return step(*args)
+        except Exception as e:  # noqa: BLE001 — backend errors are opaque
+            last = e
+            if progress is not None:
+                progress(f"[mc] round failed (attempt {attempt + 1}): {e}")
+    raise last
+
+
 def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
                   blocks_per_device: int = 4,
                   mesh=None, seed: Optional[int] = None,
                   progress: Optional[Callable[[str], None]] = print,
-                  checkpoint=None) -> CurveResult:
+                  checkpoint=None, step_factory=None) -> CurveResult:
     """Run the full SNR sweep of a block-fading experiment.
 
     blocks_per_snr is rounded up to a whole number of rounds
@@ -85,7 +101,8 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
     rounds = max(1, -(-blocks_per_snr // G))
     seed = cfg.seed if seed is None else seed
     root = jax.random.PRNGKey(seed)
-    step = make_sharded_nbf_step(cfg, mesh)
+    factory = step_factory or make_sharded_nbf_step
+    step = factory(cfg, mesh)
 
     ebnos = np.asarray(cfg.ebno_db, dtype=np.float32)
     acc_per_snr = []
@@ -97,7 +114,8 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
         for r in range(rounds):
             ids = jnp.arange(r * G, (r + 1) * G, dtype=jnp.uint32)
             keys = block_keys(root, jj, ids)
-            counts = step(jnp.float32(ebno), keys)
+            counts = _call_with_retry(step, (jnp.float32(ebno), keys),
+                                      progress=progress)
             counts = jax.device_get(
                 jax.tree.map(lambda x: np.asarray(x, dtype=np.int64)
                              if np.issubdtype(np.asarray(x).dtype, np.integer)

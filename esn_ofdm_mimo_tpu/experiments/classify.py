@@ -52,7 +52,13 @@ def main(argv=None):
     with open(os.path.join(args.outdir, "model_results.pkl"), "wb") as f:
         pickle.dump(results, f)
 
-    # printed tables, reference style
+    # printed tables, reference style (incl. trainable parameter counts,
+    # reference esn_via_cdl_all_model.py:229-236)
+    first = results[ebnos[0]]
+    print("\nTrainable parameters")
+    for m in models:
+        if "params" in first[m]:
+            print(f"{m:10s} {first[m]['params']:>9,d}")
     print("\nSER vs Eb/N0")
     print("model     " + " ".join(f"{e:>9.0f}dB" for e in ebnos))
     for m in models:

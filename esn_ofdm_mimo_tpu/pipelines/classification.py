@@ -21,6 +21,7 @@ from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import SimConfig
 from ..models import classifiers as clf
@@ -62,6 +63,13 @@ def split_dataset(ds: SymbolDataset, key, train_frac: float = 0.8
             SymbolDataset(ds.x[te], ds.labels[te]))
 
 
+def count_params(tree) -> int:
+    """Trainable parameter count (the reference prints this table,
+    esn_via_cdl_all_model.py:229-236 / BASELINE.md §2)."""
+    return int(sum(np.prod(np.asarray(x).shape)
+                   for x in jax.tree.leaves(tree)))
+
+
 def _ser_ber(pred_idx, true_idx, m) -> Tuple[jnp.ndarray, jnp.ndarray]:
     labels = qam_bit_labels(m)
     ser = jnp.mean((pred_idx != true_idx).astype(jnp.float32))
@@ -100,6 +108,7 @@ def train_and_evaluate_zoo(cfg: SimConfig, train: SymbolDataset,
     tr = train_classifier(esn_apply, clf.esn_classifier_trainable(p_esn),
                           train.x, train.labels, epochs=epochs, l2=1e-6)
     results["esn"] = eval_logits(esn_apply, tr.params)
+    results["esn"]["params"] = count_params(clf.esn_classifier_trainable(p_esn))
 
     # DeepESN (random features -> trainable ReLU head)
     p_desn = clf.deep_esn_init(k2, n_res=600, n_classes=n_classes)
@@ -110,6 +119,7 @@ def train_and_evaluate_zoo(cfg: SimConfig, train: SymbolDataset,
     tr = train_classifier(desn_apply, p_desn.hidden, train.x, train.labels,
                           epochs=epochs)
     results["deep_esn"] = eval_logits(desn_apply, tr.params)
+    results["deep_esn"]["params"] = count_params(p_desn.hidden)
 
     # FNN / CNN / RNN
     for name, init_fn, apply_fn, kk in (
@@ -120,13 +130,15 @@ def train_and_evaluate_zoo(cfg: SimConfig, train: SymbolDataset,
         tr = train_classifier(apply_fn, params, train.x, train.labels,
                               epochs=epochs)
         results[name] = eval_logits(apply_fn, tr.params)
+        results[name]["params"] = count_params(params)
 
     # ELM closed form
     p_elm = clf.elm_classifier_init(k6, n_hidden=600, n_classes=n_classes)
     p_elm = clf.elm_classifier_fit(p_elm, train.x, train.labels, n_classes)
     pred = clf.elm_classifier_predict(p_elm, test.x)
     ser, ber = _ser_ber(pred, test.labels, m)
-    results["elm"] = {"ser": float(ser), "ber": float(ber)}
+    results["elm"] = {"ser": float(ser), "ber": float(ber),
+                      "params": count_params(p_elm.W2)}
 
     return results
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .linalg_mxu import gauss_solve_real
+from .linalg_mxu import chol_solve_small
 
 
 def _embed_H(H: jnp.ndarray) -> jnp.ndarray:
@@ -38,7 +38,9 @@ def _regularized_solve(H: jnp.ndarray, y: jnp.ndarray, reg) -> jnp.ndarray:
     G = jnp.einsum("...ij,...ik->...jk", He, He)
     G = G + jnp.asarray(reg)[..., None, None] * jnp.eye(2 * n_tx, dtype=G.dtype)
     rhs = jnp.einsum("...ij,...ik->...jk", He, ye)  # (..., 2nt, 1)
-    xe = gauss_solve_real(G, rhs)[..., 0]
+    # SPD system: unrolled pivot-free Cholesky (static indices, no gathers —
+    # ~10x faster than pivoted elimination for these tiny batched systems)
+    xe = chol_solve_small(G, rhs)[..., 0]
     return xe[..., :n_tx] + 1j * xe[..., n_tx:]
 
 

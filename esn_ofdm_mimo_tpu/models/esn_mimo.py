@@ -26,8 +26,29 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .esn import EsnReservoir, EsnScale, esn_fit, esn_predict
+from .esn import EsnReservoir, EsnScale, esn_fit, esn_predict, esn_states, \
+    _readout_lstsq, _scale_inputs
 from ..ops.fft_mxu import fft_mxu
+
+# ESN recurrence implementation: "auto" routes to the fused Pallas kernels on
+# TPU backends when the working set fits VMEM (models/esn_pallas), otherwise
+# the XLA scan. Override with "xla"/"pallas" for A/B benchmarking.
+ESN_IMPL = "auto"
+
+
+def _use_pallas(kind: str, B, T, n_res, n_in, n_out) -> bool:
+    if ESN_IMPL == "xla":
+        return False
+    import jax as _jax
+    on_tpu = _jax.default_backend() not in ("cpu",)
+    if ESN_IMPL == "pallas":
+        return True
+    if not on_tpu:
+        return False
+    from .esn_pallas import predict_viable, states_viable
+    ok = (predict_viable if kind == "predict" else states_viable)(
+        B, T, n_res, n_in, n_out)
+    return ok
 
 
 def _interleave_reim(z: jnp.ndarray) -> jnp.ndarray:
@@ -70,6 +91,15 @@ def train_mimo_esn(res: EsnReservoir, scale: EsnScale, y_cp: jnp.ndarray,
     """Fit readouts for B coherence blocks; returns Wt_out (B, F, 2*n_tx)."""
     X_in, X_out = build_esn_io(y_cp, x_cp, delay)
     n_forget = delay + cp_len
+    B, T, n_in = X_in.shape
+    n_res = res.Wt.shape[0]
+    if _use_pallas("states", B, T, n_res, n_in, X_out.shape[-1]):
+        from .esn_pallas import esn_states_pallas
+        teachers_scaled = X_out * scale.teacher_scaling
+        states = esn_states_pallas(res, scale, X_in, teachers_scaled, key)
+        ext = jnp.concatenate([states, _scale_inputs(scale, X_in)], axis=-1)
+        return _readout_lstsq(ext[:, n_forget:],
+                              teachers_scaled[:, n_forget:])
     return esn_fit(res, scale, X_in, X_out, n_forget, key)
 
 
@@ -83,7 +113,13 @@ def esn_detect_symbols(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
     N = n_subcarriers
     X_in = build_esn_input(y_cp, delay)
     n_forget = delay + cp_len
-    pred = esn_predict(res, scale, Wt_out, X_in, n_forget, key)  # (B, T-d-cp, 2n_tx)
+    B, T, n_in = X_in.shape
+    n_res = res.Wt.shape[0]
+    if _use_pallas("predict", B, T, n_res, n_in, Wt_out.shape[-1]):
+        from .esn_pallas import esn_predict_pallas
+        pred = esn_predict_pallas(res, scale, Wt_out, X_in, n_forget, key)
+    else:
+        pred = esn_predict(res, scale, Wt_out, X_in, n_forget, key)
     x_hat_td = _deinterleave_reim(pred[:, :N])       # (B, n_tx, N)
     X_hat = fft_mxu(x_hat_td, axis=-1) / N
     X_hat = X_hat / jnp.asarray(power_scale)[..., None, None]

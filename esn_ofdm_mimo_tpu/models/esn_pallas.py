@@ -1,0 +1,244 @@
+"""Fused Pallas TPU kernels for the ESN recurrence.
+
+The sequential reservoir update is the one part of the framework XLA cannot
+fuse into a single kernel: a `lax.scan` pays per-step loop overhead and
+re-stages weights every iteration. These kernels keep the reservoir weights,
+state and per-row readouts resident in VMEM and run the whole T-step
+recurrence in one kernel launch (SURVEY.md §7 hard-part #1).
+
+Two kernels with different layouts, matched to where each runs:
+
+  * `esn_states_pallas` (fit path, small batch): row-major — batch on
+    sublanes, features on lanes; the state update is one
+    (B_p, n_p) @ (n_p, n_p) MXU matmul per step and the state sequence
+    streams into a (T, B_p, n_p) VMEM output.
+  * `esn_predict_pallas` (detect path, large batch): *feature-major* —
+    batch on the LAST (lane) axis in BC=128-wide grid chunks; the update is
+    (n_p, n_p) @ (n_p, BC) and the per-row readout
+    o[k, b] = sum_f Wof[f, k, b] * s[f, b] is a VPU multiply-reduce with
+    lanes intact (a row-major layout would pad the n_out=8 lane axis 16x).
+
+Feature dims are zero-padded to hardware multiples on the host; padding
+contributes exact zeros. State noise (pyESN's noise * (U(0,1)-0.5)) is drawn
+with the on-core PRNG, seeded per grid program.
+
+Both are validated against the XLA-scan reference implementations in
+tests/test_esn_pallas.py (interpret mode on CPU, compiled on TPU);
+models/esn_mimo routes through them when `*_viable` says the working set
+fits VMEM.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .esn import EsnReservoir, EsnScale
+
+BC = 128          # predict kernel: batch rows per grid program (lane width)
+_SUB = 8          # f32 sublane multiple
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _pad_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _uniform_from_bits(shape):
+    """U(0,1) f32 from raw PRNG bits (24-bit mantissa trick)."""
+    bits = pltpu.prng_random_bits(shape)
+    return (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def _seed_arg(noise_key):
+    return jax.random.randint(noise_key, (1, 1), 0, np.int32(2**31 - 1),
+                              dtype=jnp.int32)
+
+
+# --------------------------------------------------------------------------
+# predict kernel (feature-major, grid over batch chunks)
+# --------------------------------------------------------------------------
+
+def _predict_kernel(u_ref, wt_ref, win_ref, wfb_ref, wofs_ref, wofu_ref,
+                    seed_ref, out_ref, *, T, n_p, noise):
+    if noise:
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+
+    def step(t, so):
+        s, o = so
+        u_t = u_ref[t]                                      # (n_in_p, BC)
+        pre = (jnp.dot(wt_ref[:], s, preferred_element_type=jnp.float32)
+               + jnp.dot(win_ref[:], u_t,
+                         preferred_element_type=jnp.float32)
+               + jnp.dot(wfb_ref[:], o,
+                         preferred_element_type=jnp.float32))
+        s_new = jnp.tanh(pre)
+        if noise:
+            s_new = s_new + noise * (_uniform_from_bits(s_new.shape) - 0.5)
+        # per-row readout: o[k, b] = sum_f wofs[f, k, b] * s[f, b] + ...
+        o_new = (jnp.sum(wofs_ref[:] * s_new[:, None, :], axis=0)
+                 + jnp.sum(wofu_ref[:] * u_t[:, None, :], axis=0))
+        out_ref[t] = o_new
+        return s_new, o_new
+
+    s0 = jnp.zeros((n_p, BC), dtype=jnp.float32)
+    o0 = jnp.zeros_like(out_ref[0])
+    jax.lax.fori_loop(0, T, step, (s0, o0))
+
+
+def esn_predict_pallas(res: EsnReservoir, scale: EsnScale,
+                       Wt_out: jnp.ndarray, inputs: jnp.ndarray,
+                       n_forget: int, noise_key,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for models/esn.esn_predict (continuation=False semantics).
+
+    inputs (B, T, n_in) raw; Wt_out (B, n_res+n_in, n_out); returns
+    (B, T-n_forget, n_out) unscaled outputs.
+    """
+    B, T, n_in = inputs.shape
+    n_res = res.Wt.shape[0]
+    n_out = Wt_out.shape[-1]
+    n_p = _pad_to(n_res, BC)
+    n_in_p = _pad_to(n_in, _SUB)
+    B_p = _pad_to(B, BC)
+    n_out_p = _pad_to(n_out, _SUB)
+
+    u = inputs * scale.input_scaling + scale.input_shift       # (B, T, n_in)
+    u_fm = jnp.zeros((T, n_in_p, B_p), dtype=jnp.float32)
+    u_fm = u_fm.at[:, :n_in, :B].set(jnp.transpose(u, (1, 2, 0)))
+    W = jnp.zeros((n_p, n_p), dtype=jnp.float32)
+    W = W.at[:n_res, :n_res].set(res.Wt.T)                     # s' = W @ s
+    Win = jnp.zeros((n_p, n_in_p), dtype=jnp.float32)
+    Win = Win.at[:n_res, :n_in].set(res.W_in_t.T)
+    Wfb = jnp.zeros((n_p, n_out_p), dtype=jnp.float32)
+    Wfb = Wfb.at[:n_res, :n_out].set(res.W_fb_t.T)
+    wofs = jnp.zeros((n_p, n_out_p, B_p), dtype=jnp.float32)
+    wofs = wofs.at[:n_res, :n_out, :B].set(
+        jnp.transpose(Wt_out[:, :n_res, :], (1, 2, 0)))
+    wofu = jnp.zeros((n_in_p, n_out_p, B_p), dtype=jnp.float32)
+    wofu = wofu.at[:n_in, :n_out, :B].set(
+        jnp.transpose(Wt_out[:, n_res:, :], (1, 2, 0)))
+
+    kernel = functools.partial(_predict_kernel, T=T, n_p=n_p,
+                               noise=float(res.noise))
+    out = pl.pallas_call(
+        kernel,
+        grid=(B_p // BC,),
+        in_specs=[
+            pl.BlockSpec((T, n_in_p, BC), lambda i: (0, 0, i)),
+            pl.BlockSpec((n_p, n_p), lambda i: (0, 0)),
+            pl.BlockSpec((n_p, n_in_p), lambda i: (0, 0)),
+            pl.BlockSpec((n_p, n_out_p), lambda i: (0, 0)),
+            pl.BlockSpec((n_p, n_out_p, BC), lambda i: (0, 0, i)),
+            pl.BlockSpec((n_in_p, n_out_p, BC), lambda i: (0, 0, i)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((T, n_out_p, BC), lambda i: (0, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((T, n_out_p, B_p), jnp.float32),
+        interpret=interpret,
+    )(u_fm, W, Win, Wfb, wofs, wofu, _seed_arg(noise_key))
+
+    outs = jnp.transpose(out[:, :n_out, :B], (2, 0, 1))        # (B, T, n_out)
+    return outs[:, n_forget:] / scale.teacher_scaling
+
+
+# --------------------------------------------------------------------------
+# states kernel (row-major, single program — fit batches are small)
+# --------------------------------------------------------------------------
+
+def _states_kernel(u_ref, d_ref, wt_ref, win_ref, wfb_ref, seed_ref,
+                   out_ref, *, T, noise):
+    if noise:
+        pltpu.prng_seed(seed_ref[0, 0])
+    out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    def step(t, s):
+        pre = (jnp.dot(s, wt_ref[:], preferred_element_type=jnp.float32)
+               + jnp.dot(u_ref[t], win_ref[:],
+                         preferred_element_type=jnp.float32)
+               + jnp.dot(d_ref[t - 1], wfb_ref[:],
+                         preferred_element_type=jnp.float32))
+        s_new = jnp.tanh(pre)
+        if noise:
+            s_new = s_new + noise * (_uniform_from_bits(s_new.shape) - 0.5)
+        out_ref[t] = s_new
+        return s_new
+
+    jax.lax.fori_loop(1, T, step, jnp.zeros_like(out_ref[0]))
+
+
+def esn_states_pallas(res: EsnReservoir, scale: EsnScale, inputs: jnp.ndarray,
+                      teachers_scaled: jnp.ndarray, noise_key,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for models/esn.esn_states. Returns (B, T, n_res)."""
+    B, T, n_in = inputs.shape
+    n_res = res.Wt.shape[0]
+    n_out = teachers_scaled.shape[-1]
+    n_p = _pad_to(n_res, BC)
+    n_in_p = _pad_to(n_in, BC)     # lane axis of u
+    n_out_p = _pad_to(n_out, BC)   # lane axis of d
+    B_p = _pad_to(B, _SUB)
+
+    u = inputs * scale.input_scaling + scale.input_shift
+    u_rm = jnp.zeros((T, B_p, n_in_p), dtype=jnp.float32)
+    u_rm = u_rm.at[:, :B, :n_in].set(jnp.transpose(u, (1, 0, 2)))
+    d_rm = jnp.zeros((T, B_p, n_out_p), dtype=jnp.float32)
+    d_rm = d_rm.at[:, :B, :n_out].set(
+        jnp.transpose(teachers_scaled, (1, 0, 2)))
+    W = jnp.zeros((n_p, n_p), dtype=jnp.float32)
+    W = W.at[:n_res, :n_res].set(res.Wt)                       # s @ Wt form
+    Win = jnp.zeros((n_in_p, n_p), dtype=jnp.float32)
+    Win = Win.at[:n_in, :n_res].set(res.W_in_t)
+    Wfb = jnp.zeros((n_out_p, n_p), dtype=jnp.float32)
+    Wfb = Wfb.at[:n_out, :n_res].set(res.W_fb_t)
+
+    kernel = functools.partial(_states_kernel, T=T, noise=float(res.noise))
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, B_p, n_p), jnp.float32),
+        interpret=interpret,
+    )(u_rm, d_rm, W, Win, Wfb, _seed_arg(noise_key))
+    return jnp.transpose(out[:, :B, :n_res], (1, 0, 2))
+
+
+# --------------------------------------------------------------------------
+# viability checks (VMEM working set)
+# --------------------------------------------------------------------------
+
+def predict_viable(B: int, T: int, n_res: int, n_in: int, n_out: int,
+                   vmem_budget: int = _VMEM_BUDGET) -> bool:
+    n_p = _pad_to(n_res, BC)
+    n_in_p = _pad_to(n_in, _SUB)
+    n_out_p = _pad_to(n_out, _SUB)
+    bytes_needed = 4 * (T * n_in_p * BC
+                        + n_p * n_p
+                        + n_p * (n_in_p + n_out_p)
+                        + (n_p + n_in_p) * n_out_p * BC
+                        + T * n_out_p * BC
+                        + 4 * n_p * BC)
+    return bytes_needed < vmem_budget
+
+
+def states_viable(B: int, T: int, n_res: int, n_in: int, n_out: int,
+                  vmem_budget: int = _VMEM_BUDGET) -> bool:
+    n_p = _pad_to(n_res, BC)
+    B_p = _pad_to(B, _SUB)
+    bytes_needed = 4 * (T * B_p * (_pad_to(n_in, BC) + _pad_to(n_out, BC))
+                        + 3 * n_p * n_p
+                        + T * B_p * n_p
+                        + 4 * B_p * n_p)
+    return bytes_needed < vmem_budget

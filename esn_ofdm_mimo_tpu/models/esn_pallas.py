@@ -64,8 +64,8 @@ def _seed_arg(noise_key):
 # --------------------------------------------------------------------------
 
 def _predict_kernel(u_ref, wt_ref, win_ref, wfb_ref, wofs_ref, wofu_ref,
-                    seed_ref, out_ref, *, T, n_p, noise):
-    if noise:
+                    seed_ref, noise_ref, out_ref, *, T, n_p, with_prng):
+    if with_prng:
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
 
     def step(t, so):
@@ -77,8 +77,9 @@ def _predict_kernel(u_ref, wt_ref, win_ref, wfb_ref, wofs_ref, wofu_ref,
                + jnp.dot(wfb_ref[:], o,
                          preferred_element_type=jnp.float32))
         s_new = jnp.tanh(pre)
-        if noise:
-            s_new = s_new + noise * (_uniform_from_bits(s_new.shape) - 0.5)
+        if with_prng:
+            s_new = s_new + noise_ref[0, 0] * (
+                _uniform_from_bits(s_new.shape) - 0.5)
         # per-row readout: o[k, b] = sum_f wofs[f, k, b] * s[f, b] + ...
         o_new = (jnp.sum(wofs_ref[:] * s_new[:, None, :], axis=0)
                  + jnp.sum(wofu_ref[:] * u_t[:, None, :], axis=0))
@@ -123,8 +124,11 @@ def esn_predict_pallas(res: EsnReservoir, scale: EsnScale,
     wofu = wofu.at[:n_in, :n_out, :B].set(
         jnp.transpose(Wt_out[:, n_res:, :], (1, 2, 0)))
 
+    # interpret mode (CPU tests) lacks the TPU PRNG primitive; the reference
+    # parity tests run with noise amplitude 0 anyway
     kernel = functools.partial(_predict_kernel, T=T, n_p=n_p,
-                               noise=float(res.noise))
+                               with_prng=not interpret)
+    noise_amp = jnp.reshape(res.noise.astype(jnp.float32), (1, 1))
     out = pl.pallas_call(
         kernel,
         grid=(B_p // BC,),
@@ -137,11 +141,13 @@ def esn_predict_pallas(res: EsnReservoir, scale: EsnScale,
             pl.BlockSpec((n_in_p, n_out_p, BC), lambda i: (0, 0, i)),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((T, n_out_p, BC), lambda i: (0, 0, i)),
         out_shape=jax.ShapeDtypeStruct((T, n_out_p, B_p), jnp.float32),
         interpret=interpret,
-    )(u_fm, W, Win, Wfb, wofs, wofu, _seed_arg(noise_key))
+    )(u_fm, W, Win, Wfb, wofs, wofu, _seed_arg(noise_key), noise_amp)
 
     outs = jnp.transpose(out[:, :n_out, :B], (2, 0, 1))        # (B, T, n_out)
     return outs[:, n_forget:] / scale.teacher_scaling
@@ -152,8 +158,8 @@ def esn_predict_pallas(res: EsnReservoir, scale: EsnScale,
 # --------------------------------------------------------------------------
 
 def _states_kernel(u_ref, d_ref, wt_ref, win_ref, wfb_ref, seed_ref,
-                   out_ref, *, T, noise):
-    if noise:
+                   noise_ref, out_ref, *, T, with_prng):
+    if with_prng:
         pltpu.prng_seed(seed_ref[0, 0])
     out_ref[0] = jnp.zeros_like(out_ref[0])
 
@@ -164,8 +170,9 @@ def _states_kernel(u_ref, d_ref, wt_ref, win_ref, wfb_ref, seed_ref,
                + jnp.dot(d_ref[t - 1], wfb_ref[:],
                          preferred_element_type=jnp.float32))
         s_new = jnp.tanh(pre)
-        if noise:
-            s_new = s_new + noise * (_uniform_from_bits(s_new.shape) - 0.5)
+        if with_prng:
+            s_new = s_new + noise_ref[0, 0] * (
+                _uniform_from_bits(s_new.shape) - 0.5)
         out_ref[t] = s_new
         return s_new
 
@@ -197,7 +204,8 @@ def esn_states_pallas(res: EsnReservoir, scale: EsnScale, inputs: jnp.ndarray,
     Wfb = jnp.zeros((n_out_p, n_p), dtype=jnp.float32)
     Wfb = Wfb.at[:n_out, :n_res].set(res.W_fb_t)
 
-    kernel = functools.partial(_states_kernel, T=T, noise=float(res.noise))
+    kernel = functools.partial(_states_kernel, T=T, with_prng=not interpret)
+    noise_amp = jnp.reshape(res.noise.astype(jnp.float32), (1, 1))
     out = pl.pallas_call(
         kernel,
         in_specs=[
@@ -207,11 +215,12 @@ def esn_states_pallas(res: EsnReservoir, scale: EsnScale, inputs: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, B_p, n_p), jnp.float32),
         interpret=interpret,
-    )(u_rm, d_rm, W, Win, Wfb, _seed_arg(noise_key))
+    )(u_rm, d_rm, W, Win, Wfb, _seed_arg(noise_key), noise_amp)
     return jnp.transpose(out[:, :B, :n_res], (1, 0, 2))
 
 

@@ -102,18 +102,22 @@ def esn_states(res: EsnReservoir, scale: EsnScale, inputs: jnp.ndarray,
     u = _scale_inputs(scale, inputs)
     s0 = jnp.zeros((B, n_res), dtype=res.Wt.dtype)
 
+    # hoist the input/teacher projections out of the sequential loop: one
+    # large (B*(T-1), n_in+n_out) matmul instead of two small ones per step —
+    # the scan body is left with a single matvec chain + tanh
+    drive = (u[:, 1:] @ res.W_in_t
+             + teachers_scaled[:, :-1] @ res.W_fb_t)  # (B, T-1, n_res)
+    # pre-generate the per-step state noise as one batched uniform draw
+    noise = res.noise * (jax.random.uniform(
+        noise_key, (T - 1, B, n_res), dtype=s0.dtype) - 0.5)
+
     def step(s, inp):
-        u_n, d_prev, k = inp
-        pre = s @ res.Wt + u_n @ res.W_in_t + d_prev @ res.W_fb_t
-        noise = res.noise * (jax.random.uniform(k, s.shape, dtype=s.dtype) - 0.5)
-        s_next = jnp.tanh(pre) + noise
+        c_n, z_n = inp
+        s_next = jnp.tanh(s @ res.Wt + c_n) + z_n
         return s_next, s_next
 
-    keys = jax.random.split(noise_key, T - 1)
-    xs = (jnp.swapaxes(u[:, 1:], 0, 1),               # (T-1, B, n_in)
-          jnp.swapaxes(teachers_scaled[:, :-1], 0, 1),
-          keys)
-    _, states_tail = jax.lax.scan(step, s0, xs)
+    xs = (jnp.swapaxes(drive, 0, 1), noise)
+    _, states_tail = jax.lax.scan(step, s0, xs, unroll=4)
     states = jnp.concatenate([s0[None], states_tail], axis=0)  # (T, B, n_res)
     return jnp.swapaxes(states, 0, 1)
 
@@ -208,17 +212,21 @@ def esn_predict(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
     s0 = jnp.zeros((B, n_res), dtype=res.Wt.dtype)
     o0 = jnp.zeros((B, n_out), dtype=res.Wt.dtype)
 
+    # hoist what the feedback loop permits: the input projection (one big
+    # matmul) and the input part of the readout; per-step noise pre-drawn
+    drive = u @ res.W_in_t                            # (B, T, n_res)
+    o_in = jnp.einsum("btf,bfo->bto", u, Wt_u)        # (B, T, n_out)
+    noise = res.noise * (jax.random.uniform(
+        noise_key, (T, B, n_res), dtype=s0.dtype) - 0.5)
+
     def step(carry, inp):
         s, o_prev = carry
-        u_n, k = inp
-        pre = s @ res.Wt + u_n @ res.W_in_t + o_prev @ res.W_fb_t
-        noise = res.noise * (jax.random.uniform(k, s.shape, dtype=s.dtype) - 0.5)
-        s_next = jnp.tanh(pre) + noise
-        o_next = (jnp.einsum("bf,bfo->bo", s_next, Wt_s)
-                  + jnp.einsum("bf,bfo->bo", u_n, Wt_u))
+        c_n, oi_n, z_n = inp
+        s_next = jnp.tanh(s @ res.Wt + c_n + o_prev @ res.W_fb_t) + z_n
+        o_next = jnp.einsum("bf,bfo->bo", s_next, Wt_s) + oi_n
         return (s_next, o_next), o_next
 
-    keys = jax.random.split(noise_key, T)
-    _, outs = jax.lax.scan(step, (s0, o0), (jnp.swapaxes(u, 0, 1), keys))
+    xs = (jnp.swapaxes(drive, 0, 1), jnp.swapaxes(o_in, 0, 1), noise)
+    _, outs = jax.lax.scan(step, (s0, o0), xs, unroll=4)
     outs = jnp.swapaxes(outs, 0, 1)  # (B, T, n_out), row n ↔ input sample n
     return outs[:, n_forget:] / scale.teacher_scaling

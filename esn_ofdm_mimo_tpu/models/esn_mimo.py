@@ -33,7 +33,8 @@ from ..ops.fft_mxu import fft_mxu
 # ESN recurrence implementation: "auto" routes to the fused Pallas kernels on
 # TPU backends when the working set fits VMEM (models/esn_pallas), otherwise
 # the XLA scan. Override with "xla"/"pallas" for A/B benchmarking.
-ESN_IMPL = "auto"
+ESN_IMPL = "xla"   # "auto"/"pallas" available; XLA scan currently matches
+#                    the fused kernels on this backend at far lower compile cost
 
 
 def _use_pallas(kind: str, B, T, n_res, n_in, n_out) -> bool:

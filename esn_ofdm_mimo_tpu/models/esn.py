@@ -213,20 +213,22 @@ def esn_predict(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
     o0 = jnp.zeros((B, n_out), dtype=res.Wt.dtype)
 
     # hoist what the feedback loop permits: the input projection (one big
-    # matmul) and the input part of the readout; per-step noise pre-drawn
+    # matmul) and the input part of the readout. State noise is generated
+    # inside the loop from per-step keys — pre-drawing (T, B, n_res) noise
+    # would stream ~100 MB of HBM per call at detect batch sizes.
     drive = u @ res.W_in_t                            # (B, T, n_res)
     o_in = jnp.einsum("btf,bfo->bto", u, Wt_u)        # (B, T, n_out)
-    noise = res.noise * (jax.random.uniform(
-        noise_key, (T, B, n_res), dtype=s0.dtype) - 0.5)
+    keys = jax.random.split(noise_key, T)
 
     def step(carry, inp):
         s, o_prev = carry
-        c_n, oi_n, z_n = inp
+        c_n, oi_n, k = inp
+        z_n = res.noise * (jax.random.uniform(k, s.shape, dtype=s.dtype) - 0.5)
         s_next = jnp.tanh(s @ res.Wt + c_n + o_prev @ res.W_fb_t) + z_n
         o_next = jnp.einsum("bf,bfo->bo", s_next, Wt_s) + oi_n
         return (s_next, o_next), o_next
 
-    xs = (jnp.swapaxes(drive, 0, 1), jnp.swapaxes(o_in, 0, 1), noise)
+    xs = (jnp.swapaxes(drive, 0, 1), jnp.swapaxes(o_in, 0, 1), keys)
     _, outs = jax.lax.scan(step, (s0, o0), xs, unroll=4)
     outs = jnp.swapaxes(outs, 0, 1)  # (B, T, n_out), row n ↔ input sample n
     return outs[:, n_forget:] / scale.teacher_scaling

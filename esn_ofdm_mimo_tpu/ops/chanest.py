@@ -80,3 +80,20 @@ def estimate_channel(Y_ls, X_ls_comb, power_scale, n_tx, isi_duration,
     H_ls = ls_comb_estimate(Y_ls, X_ls_comb, power_scale, n_tx)
     H_mmse = mmse_refine_td(H_ls, isi_duration, noise_psd, power_per_sc)
     return H_ls, H_mmse
+
+
+def channel_freq_correlation(pdp: jnp.ndarray, n_subcarriers: int
+                             ) -> jnp.ndarray:
+    """Frequency-domain channel correlation matrix from a power-delay profile.
+
+    R_H[k, l] = sum_tap pdp[tap] * exp(-j 2π (k-l) tap / N) — capability
+    parity with the reference's `ComputeChannelCorrMatrix`
+    (libs/HelpFunc.py:41-62; defined there but never called by any script).
+    Returns (N, N) complex64 Hermitian Toeplitz matrix.
+    """
+    taps = jnp.arange(pdp.shape[0])
+    k = jnp.arange(n_subcarriers)
+    diff = k[:, None] - k[None, :]                     # (N, N)
+    ang = -2.0 * jnp.pi * diff[..., None] * taps / n_subcarriers
+    r = jnp.sum(pdp * (jnp.cos(ang) + 1j * jnp.sin(ang)), axis=-1)
+    return r.astype(jnp.complex64)

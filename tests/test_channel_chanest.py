@@ -130,3 +130,22 @@ def test_equalizers_recover_noiseless():
     np.testing.assert_allclose(x_zf, x, rtol=1e-2, atol=1e-3)
     x_mmse = np.asarray(equalize_mmse(jnp.asarray(y), jnp.asarray(H), sqrt_pi, 1e-9))
     np.testing.assert_allclose(x_mmse, x, rtol=1e-2, atol=1e-3)
+
+
+def test_channel_freq_correlation():
+    from esn_ofdm_mimo_tpu.ops.chanest import channel_freq_correlation
+    pdp = np.asarray(exp_pdp(8))
+    R = np.asarray(channel_freq_correlation(jnp.asarray(pdp), 32))
+    # Hermitian, unit diagonal (pdp sums to 1), Toeplitz
+    np.testing.assert_allclose(R, R.conj().T, atol=1e-5)
+    np.testing.assert_allclose(np.diag(R), 1.0, atol=1e-5)
+    np.testing.assert_allclose(R[0, 1], R[1, 2], atol=1e-5)
+    # matches E[H_k H_l^*] for the exp-PDP channel ensemble (Monte Carlo)
+    rng = np.random.default_rng(0)
+    acc = np.zeros((32, 32), dtype=complex)
+    for _ in range(3000):
+        c = (rng.standard_normal(8) + 1j * rng.standard_normal(8)) / np.sqrt(2)
+        c *= np.sqrt(pdp)
+        H = np.fft.fft(np.r_[c, np.zeros(24)])
+        acc += np.outer(H, H.conj())
+    np.testing.assert_allclose(acc / 3000, R, atol=0.1)

@@ -46,6 +46,12 @@ def _apply(cfg, param: str, value):
     return dataclasses.replace(cfg, esn=esn)
 
 
+# sweep param -> esn_over key (traced scalars; one compile per sweep).
+# "reservoir" changes array shapes and must recompile per value.
+_TRACED = {"spectral": "spectral_radius", "sparsity": "sparsity",
+           "inpscale": "input_scaler", "teachers": "teacher_scaling"}
+
+
 def run_sweep(param: str, ebno_db: float = 12.0, blocks: int = 16,
               seed: int = 0, base_cfg=None) -> Dict[float, float]:
     """Returns {value: esn_ber} for the chosen hyperparameter sweep."""
@@ -58,9 +64,19 @@ def run_sweep(param: str, ebno_db: float = 12.0, blocks: int = 16,
                                                  enabled=False))
     out = {}
     root = jax.random.PRNGKey(seed)
+    keys = block_keys(root, 0, jnp.arange(blocks, dtype=jnp.uint32))
+    if param in _TRACED:
+        over_key = _TRACED[param]
+        step = jax.jit(lambda e, k, v: run_nbf_blocks(
+            base, e, k, detectors=("esn",), esn_over={over_key: v}))
+        for v in SWEEPS[param]:
+            counts = step(jnp.float32(ebno_db), keys, jnp.float32(v))
+            out[float(v)] = (float(counts.bit_errors["esn"])
+                             / float(counts.total_bits))
+            print(f"[sweep] {param}={v}: BER={out[float(v)]:.4g}", flush=True)
+        return out
     for v in SWEEPS[param]:
         cfg = _apply(base, param, v)
-        keys = block_keys(root, 0, jnp.arange(blocks, dtype=jnp.uint32))
         counts = jax.jit(
             lambda e, k, cfg=cfg: run_nbf_blocks(cfg, e, k,
                                                  detectors=("esn",)))(

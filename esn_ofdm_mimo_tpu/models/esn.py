@@ -74,9 +74,9 @@ def init_reservoir(key, n_in: int, n_out: int, n_res: int,
     """
     kw, km, ki, kf, kp = jax.random.split(key, 5)
     W = jax.random.uniform(kw, (n_res, n_res), dtype=dtype, minval=-0.5, maxval=0.5)
-    if sparsity > 0:
-        mask = jax.random.uniform(km, (n_res, n_res), dtype=dtype) >= sparsity
-        W = W * mask
+    # traced-sparsity-safe: mask is a no-op when sparsity == 0
+    mask = jax.random.uniform(km, (n_res, n_res), dtype=dtype) >= sparsity
+    W = W * mask
     radius = spectral_radius_power_iter(W, kp)
     W = W * (spectral_radius / jnp.maximum(radius, 1e-12))
     W_in = jax.random.uniform(ki, (n_res, n_in), dtype=dtype, minval=-1.0, maxval=1.0)

@@ -49,7 +49,7 @@ def decoded_symbol_indices(cfg: SimConfig) -> jnp.ndarray:
 
 
 def run_nbf_blocks(cfg: SimConfig, ebno_db, bkeys,
-                   detectors=_DETECTORS) -> NbfCounts:
+                   detectors=_DETECTORS, esn_over=None) -> NbfCounts:
     """Simulate one coherence block per key in `bkeys` (B,); return counters."""
     ofdm = cfg.ofdm
     N, m = ofdm.n_subcarriers, ofdm.bits_per_symbol
@@ -63,7 +63,7 @@ def run_nbf_blocks(cfg: SimConfig, ebno_db, bkeys,
     code = (make_regular_ldpc(N * m, cfg.ldpc.dv, cfg.ldpc.dc, cfg.ldpc.seed)
             if cfg.ldpc.enabled else None)
 
-    state = synth_block(cfg, ebno_db, bkeys)
+    state = synth_block(cfg, ebno_db, bkeys, esn_over)
     code_bits, info_bits = data_bits_for_blocks(cfg, bkeys, D, code)
     data = detect_data_symbols(cfg, state, ebno_db, bkeys, code_bits, detectors)
 

@@ -112,10 +112,14 @@ def _link_budget(cfg: SimConfig, ebno_db):
     return var_x, pi, jnp.sqrt(pi), clip_amplitude(var_x, cfg.pa.clip_level_db)
 
 
-def synth_block(cfg: SimConfig, ebno_db, bkeys) -> BlockState:
+def synth_block(cfg: SimConfig, ebno_db, bkeys, esn_over=None) -> BlockState:
     """Simulate the coherence-block head for a batch of B blocks:
     channel draw, pilot synthesis, channel estimation, ESN training
-    (reference OFDM_SISO_NBF_LDPC.py:270-384). bkeys: (B,) per-block keys."""
+    (reference OFDM_SISO_NBF_LDPC.py:270-384). bkeys: (B,) per-block keys.
+
+    esn_over: optional dict of *traced* ESN hyperparameter overrides
+    (spectral_radius / sparsity / noise / input_scaler / teacher_scaling) —
+    lets hyperparameter sweeps reuse one compiled program per sweep."""
     ofdm, esn_cfg = cfg.ofdm, cfg.esn
     N, cp, isi = ofdm.n_subcarriers, ofdm.cp_len, ofdm.isi_duration
     n_tx, n_rx = cfg.channel.n_tx, cfg.channel.n_rx
@@ -157,15 +161,20 @@ def synth_block(cfg: SimConfig, ebno_db, bkeys) -> BlockState:
             Y_ls, X_ls, sqrt_pi, n_tx, isi, No, pi)
 
     # ---- ESN training (batch-shared reservoir, see module docstring) ----
+    ov = esn_over or {}
     res = init_reservoir(
         fold_key(bkeys[0], _K_RESERVOIR), 2 * n_rx, 2 * n_tx,
-        esn_cfg.n_reservoir, esn_cfg.spectral_radius, esn_cfg.sparsity,
-        esn_cfg.noise)
+        esn_cfg.n_reservoir,
+        ov.get("spectral_radius", esn_cfg.spectral_radius),
+        ov.get("sparsity", esn_cfg.sparsity),
+        ov.get("noise", esn_cfg.noise))
     delay = esn_cfg.shared_delay(isi)
+    in_scaler = ov.get("input_scaler", esn_cfg.input_scaler)
+    t_scaling = ov.get("teacher_scaling", esn_cfg.teacher_scaling)
     scale_m = EsnScale(
-        input_scaling=jnp.asarray(esn_cfg.input_scaler) / jnp.sqrt(var_x),
+        input_scaling=jnp.asarray(in_scaler) / jnp.sqrt(var_x),
         input_shift=jnp.float32(esn_cfg.input_offset / esn_cfg.input_scaler),
-        teacher_scaling=jnp.float32(esn_cfg.teacher_scaling))
+        teacher_scaling=jnp.asarray(t_scaling, dtype=jnp.float32))
     Wt_out_m = train_mimo_esn(res, scale_m, y_cp, x_cp, delay, cp,
                               fold_key(bkeys[0], _K_ESNFIT))
 
@@ -181,7 +190,7 @@ def synth_block(cfg: SimConfig, ebno_db, bkeys) -> BlockState:
         noise_f = _vawgn(_vfold(bkeys, _K_PNOISE_F), (n_rx, T), No, T)
         y_cp_f = apply_fir_channel(taps, x_cp_f) + noise_f
         scale_f = EsnScale(
-            input_scaling=jnp.asarray(esn_cfg.input_scaler) / jnp.sqrt(var_f),
+            input_scaling=jnp.asarray(in_scaler) / jnp.sqrt(var_f),
             input_shift=jnp.float32(esn_cfg.input_offset / esn_cfg.input_scaler),
             teacher_scaling=jnp.float32(esn_cfg.teacher_scaling))
         Wt_out_f = train_mimo_esn(res, scale_f, y_cp_f, x_cp_f, delay, cp,

@@ -57,6 +57,24 @@ def esn_classifier_trainable(p: EsnClassifierParams):
     return {"W_out": p.W_out, "b_out": p.b_out}
 
 
+def esn_classifier_apply_full(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Module-level apply over the FULL param dict (stable identity for jit
+    caching across an SNR sweep). W_in is frozen via stop_gradient — Adam
+    sees zero gradient and leaves it untouched, matching the reference's
+    fixed random reservoir (:98-121)."""
+    W_in = jax.lax.stop_gradient(params["W_in"])
+    feats = jnp.concatenate([jnp.tanh(x @ W_in), x], axis=-1)
+    return feats @ params["W_out"] + params["b_out"]
+
+
+def deep_esn_apply_full(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Full-param DeepESN apply; fixed W_in via stop_gradient."""
+    W_in = jax.lax.stop_gradient(params["W_in"])
+    feats = jnp.concatenate([jnp.tanh(x @ W_in), x], axis=-1)
+    from . import zoo
+    return zoo.mlp_apply(params["hidden"], feats, hidden_act=jax.nn.relu)
+
+
 class DeepEsnParams(NamedTuple):
     W_in: jnp.ndarray     # (2, n_res) fixed
     hidden: dict          # trainable ReLU layer + softmax head

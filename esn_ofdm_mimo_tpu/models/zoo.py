@@ -117,6 +117,28 @@ class TrainResult(NamedTuple):
     losses: jnp.ndarray
 
 
+# jit wrappers keyed on (apply_fn, epochs, lr, ...) — model apply functions
+# are module-level (stable identity), so repeated calls across an SNR sweep
+# reuse one compilation per model
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _train_regressor_jit(apply_fn, params, X, Y, epochs, lr):
+    return train_regressor(apply_fn, params, X, Y, epochs, lr)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _train_classifier_jit(apply_fn, params, X, labels, epochs, lr, l2):
+    return train_classifier(apply_fn, params, X, labels, epochs, lr, l2)
+
+
+def train_regressor_cached(apply_fn, params, X, Y, epochs=50, lr=1e-3):
+    return _train_regressor_jit(apply_fn, params, X, Y, epochs, lr)
+
+
+def train_classifier_cached(apply_fn, params, X, labels, epochs=200,
+                            lr=1e-3, l2=0.0):
+    return _train_classifier_jit(apply_fn, params, X, labels, epochs, lr, l2)
+
+
 def train_regressor(apply_fn: Callable, params, X: jnp.ndarray,
                     Y: jnp.ndarray, epochs: int = 50, lr: float = 1e-3
                     ) -> TrainResult:

@@ -17,6 +17,7 @@ The seven detectors and their SER/BER reporting match SURVEY.md §2.2
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, NamedTuple, Tuple
 
 import jax
@@ -25,7 +26,7 @@ import numpy as np
 
 from ..config import SimConfig
 from ..models import classifiers as clf
-from ..models.zoo import train_classifier
+from ..models.zoo import train_classifier_cached as train_classifier
 from ..ops.qam import qam_bit_labels, qam_constellation, hard_demap_index
 from ..utils.rng import fold_key
 from .common import data_bits_for_blocks, detect_data_symbols, synth_block
@@ -92,33 +93,32 @@ def train_and_evaluate_zoo(cfg: SimConfig, train: SymbolDataset,
     ser, ber = _ser_ber(pred, test.labels, m)
     results["traditional"] = {"ser": float(ser), "ber": float(ber)}
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def _pred(apply_fn, params, x):
+        return jnp.argmax(apply_fn(params, x), axis=-1)
+
     def eval_logits(apply_fn, params):
-        pred = jnp.argmax(apply_fn(params, test.x), axis=-1)
+        pred = _pred(apply_fn, params, test.x)
         ser, ber = _ser_ber(pred, test.labels, m)
         return {"ser": float(ser), "ber": float(ber)}
 
-    # ESN single-step (random features + trained softmax readout)
+    # ESN single-step (random features + trained softmax readout); the
+    # module-level full-param applies keep jit caches warm across SNRs
     k1, k2, k3, k4, k5, k6, key = jax.random.split(key, 7)
     p_esn = clf.esn_classifier_init(k1, n_res=600, n_classes=n_classes)
-
-    def esn_apply(trainable, x):
-        p = p_esn._replace(W_out=trainable["W_out"], b_out=trainable["b_out"])
-        return clf.esn_classifier_apply(p, x)
-
-    tr = train_classifier(esn_apply, clf.esn_classifier_trainable(p_esn),
+    esn_params = {"W_in": p_esn.W_in, "W_out": p_esn.W_out,
+                  "b_out": p_esn.b_out}
+    tr = train_classifier(clf.esn_classifier_apply_full, esn_params,
                           train.x, train.labels, epochs=epochs, l2=1e-6)
-    results["esn"] = eval_logits(esn_apply, tr.params)
+    results["esn"] = eval_logits(clf.esn_classifier_apply_full, tr.params)
     results["esn"]["params"] = count_params(clf.esn_classifier_trainable(p_esn))
 
     # DeepESN (random features -> trainable ReLU head)
     p_desn = clf.deep_esn_init(k2, n_res=600, n_classes=n_classes)
-
-    def desn_apply(hidden, x):
-        return clf.deep_esn_apply(p_desn._replace(hidden=hidden), x)
-
-    tr = train_classifier(desn_apply, p_desn.hidden, train.x, train.labels,
-                          epochs=epochs)
-    results["deep_esn"] = eval_logits(desn_apply, tr.params)
+    desn_params = {"W_in": p_desn.W_in, "hidden": p_desn.hidden}
+    tr = train_classifier(clf.deep_esn_apply_full, desn_params,
+                          train.x, train.labels, epochs=epochs)
+    results["deep_esn"] = eval_logits(clf.deep_esn_apply_full, tr.params)
     results["deep_esn"]["params"] = count_params(p_desn.hidden)
 
     # FNN / CNN / RNN

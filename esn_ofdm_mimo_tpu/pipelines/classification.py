@@ -87,19 +87,23 @@ def train_and_evaluate_zoo(cfg: SimConfig, train: SymbolDataset,
     n_classes = 2 ** m
     results = {}
 
-    # traditional nearest-point demapper
-    z = test.x[:, 0] + 1j * test.x[:, 1]
-    pred = clf.traditional_demap(z, m)
-    ser, ber = _ser_ber(pred, test.labels, m)
+    # traditional nearest-point demapper (jitted as one program: eager
+    # complex ops would hit the axon backend's unimplemented c64 transfers)
+    @functools.partial(jax.jit, static_argnums=2)
+    def _trad(x, labels, m):
+        z = x[:, 0] + 1j * x[:, 1]
+        return _ser_ber(clf.traditional_demap(z, m), labels, m)
+
+    ser, ber = _trad(test.x, test.labels, m)
     results["traditional"] = {"ser": float(ser), "ber": float(ber)}
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _pred(apply_fn, params, x):
-        return jnp.argmax(apply_fn(params, x), axis=-1)
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _pred_eval(apply_fn, params, x, m, labels):
+        pred = jnp.argmax(apply_fn(params, x), axis=-1)
+        return _ser_ber(pred, labels, m)
 
     def eval_logits(apply_fn, params):
-        pred = _pred(apply_fn, params, test.x)
-        ser, ber = _ser_ber(pred, test.labels, m)
+        ser, ber = _pred_eval(apply_fn, params, test.x, m, test.labels)
         return {"ser": float(ser), "ber": float(ber)}
 
     # ESN single-step (random features + trained softmax readout); the
@@ -132,13 +136,17 @@ def train_and_evaluate_zoo(cfg: SimConfig, train: SymbolDataset,
         results[name] = eval_logits(apply_fn, tr.params)
         results[name]["params"] = count_params(params)
 
-    # ELM closed form
-    p_elm = clf.elm_classifier_init(k6, n_hidden=600, n_classes=n_classes)
-    p_elm = clf.elm_classifier_fit(p_elm, train.x, train.labels, n_classes)
-    pred = clf.elm_classifier_predict(p_elm, test.x)
-    ser, ber = _ser_ber(pred, test.labels, m)
+    # ELM closed form (fit + eval in one jitted program)
+    @functools.partial(jax.jit, static_argnums=(4, 5))
+    def _elm_fit_eval(p0, xtr, ytr, xte, n_classes, m, yte):
+        p = clf.elm_fit_classifier(p0, xtr, ytr, n_classes)
+        return _ser_ber(clf.elm_classifier_predict(p, xte), yte, m)
+
+    p_elm0 = clf.elm_classifier_init(k6, n_hidden=600, n_classes=n_classes)
+    ser, ber = _elm_fit_eval(p_elm0, train.x, train.labels, test.x,
+                             n_classes, m, test.labels)
     results["elm"] = {"ser": float(ser), "ber": float(ber),
-                      "params": count_params(p_elm.W2)}
+                      "params": count_params(p_elm0.W2)}
 
     return results
 

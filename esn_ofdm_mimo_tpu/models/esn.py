@@ -24,7 +24,7 @@ pyESN so that every contraction is a row-major `x @ W`:
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ Both are written to be used *inside* shard_map with a named mesh axis.
 """
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,7 @@ runner can psum them across devices.
 """
 from __future__ import annotations
 
-import math
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax.numpy as jnp
 
@@ -18,9 +17,7 @@ from ..config import SimConfig
 from ..ldpc import make_regular_ldpc, ldpc_decode_bp, llr_from_yobs
 from ..ops import symbols_to_bits_hard, qam_llrs_maxlog, est_sigma2_from_decision
 from ..ops.analytics import channel_svd_metrics
-from ..utils.rng import fold_key
-from .common import BlockState, DataSymbols, synth_block, detect_data_symbols, \
-    data_bits_for_blocks
+from .common import synth_block, detect_data_symbols, data_bits_for_blocks
 
 _DETECTORS = ("esn", "esn_fixed", "zf_perfect", "zf_ls", "mmse")
 

@@ -27,7 +27,7 @@ import numpy as np
 from ..config import SimConfig
 from ..models import classifiers as clf
 from ..models.zoo import train_classifier_cached as train_classifier
-from ..ops.qam import qam_bit_labels, qam_constellation, hard_demap_index
+from ..ops.qam import qam_bit_labels, hard_demap_index
 from ..utils.rng import fold_key
 from .common import data_bits_for_blocks, detect_data_symbols, synth_block
 

@@ -15,19 +15,19 @@ equalizers ride along from the common block machinery.
 """
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from ..config import SimConfig
 from ..models import zoo
-from ..models.elm import init_elm, elm_fit, elm_predict
+from ..models.elm import init_elm, elm_fit
 from ..models.esn_mimo import build_esn_io, build_esn_input, _deinterleave_reim
 from ..ops import symbols_to_bits_hard
 from ..ops.fft_mxu import fft_mxu
 from ..utils.rng import fold_key
-from .common import (DataSymbols, _link_budget, data_bits_for_blocks,
+from .common import (_link_budget, data_bits_for_blocks,
                      detect_data_symbols, synth_block)
 
 _K_ZOO = 21

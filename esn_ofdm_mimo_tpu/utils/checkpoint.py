@@ -6,7 +6,6 @@ multi-host job resumes at the last completed SNR.
 """
 from __future__ import annotations
 
-import json
 import os
 import pickle
 from typing import Any

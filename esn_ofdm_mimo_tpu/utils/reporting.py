@@ -5,8 +5,6 @@ from __future__ import annotations
 import csv
 import os
 import pickle
-from typing import Optional
-
 import numpy as np
 
 

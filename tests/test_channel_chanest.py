@@ -149,3 +149,19 @@ def test_channel_freq_correlation():
         H = np.fft.fft(np.r_[c, np.zeros(24)])
         acc += np.outer(H, H.conj())
     np.testing.assert_allclose(acc / 3000, R, atol=0.1)
+
+
+def test_capacity_closed_form_identity_channel():
+    """Capacity metric vs closed form: H = I (n x n) gives
+    sum_k log2(1 + gamma * 1) with gamma = (Pi/No)/n_tx."""
+    from esn_ofdm_mimo_tpu.ops.analytics import channel_svd_metrics
+    n = 4
+    H = jnp.broadcast_to(jnp.eye(n, dtype=jnp.complex64), (8, n, n))[None]
+    pi, No = 2e-4, 1e-5
+    met = channel_svd_metrics(H, jnp.asarray(pi), No)
+    gamma = (pi / No) / n
+    expect = n * np.log2(1 + gamma)
+    np.testing.assert_allclose(np.asarray(met.capacity_per_sc), expect,
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(met.rank), n)
+    np.testing.assert_allclose(np.asarray(met.cond), 1.0, rtol=1e-4)

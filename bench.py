@@ -27,6 +27,11 @@ if (os.environ.get("PALLAS_AXON_POOL_IPS")
                PALLAS_AXON_REMOTE_COMPILE="1", _BENCH_REEXEC="1")
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
+# persistent compilation cache: relay compiles take minutes cold, ~0 warm
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
 import numpy as np
 
 

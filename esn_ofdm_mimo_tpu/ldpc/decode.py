@@ -48,9 +48,15 @@ def _leave_one_out_prod(t: jnp.ndarray) -> jnp.ndarray:
     return fwd * bwd
 
 
-def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100
+def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100,
+                   algo: str = "sumprod", minsum_scale: float = 0.75
                    ) -> jnp.ndarray:
     """Decode B codewords. llr (B, n) channel LLRs (positive <=> bit 0).
+
+    algo="sumprod" reproduces pyldpc's tanh-rule updates (the parity
+    default); algo="minsum" is the normalised min-sum approximation
+    (sign-product x scaled second-min magnitude) — cheaper per iteration,
+    the classic hardware decoder; ~0.1-0.2 dB from sum-product at rate 1/2.
 
     Returns hard codeword bits (B, n) int8.
     """
@@ -83,6 +89,23 @@ def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100
         L_tot = Lc + sum_r_per_var(r)                 # (B, n)
         q = gather_var(L_tot, 0.0) - r                # var->check, (B, m, dc)
         q = jnp.clip(q, -MSG_CLIP, MSG_CLIP)
+        if algo == "minsum":
+            sgn = jnp.where(valid, jnp.sign(q), 1.0)
+            sgn = jnp.where(sgn == 0, 1.0, sgn)
+            sprod = _leave_one_out_prod(sgn)
+            mag = jnp.where(valid, jnp.abs(q), jnp.inf)
+            # leave-one-out min via (min, second-min)
+            m1 = jnp.min(mag, axis=-1, keepdims=True)
+            is_min = mag == m1
+            # mask exactly one occurrence of the minimum
+            first_min = jnp.cumsum(is_min.astype(jnp.int32), axis=-1) == 1
+            first_min = jnp.logical_and(first_min, is_min)
+            mag2 = jnp.where(first_min, jnp.inf, mag)
+            m2 = jnp.min(mag2, axis=-1, keepdims=True)
+            loo_min = jnp.where(first_min, m2, m1)
+            r_new = minsum_scale * sprod * jnp.minimum(loo_min, MSG_CLIP)
+            r_new = jnp.where(valid, r_new, 0.0)
+            return r_new, L_tot
         t = jnp.where(valid, jnp.tanh(0.5 * q), 1.0)
         prod = _leave_one_out_prod(t)
         prod = jnp.clip(prod, -0.9999999, 0.9999999)

@@ -79,3 +79,33 @@ def test_llr_from_yobs_pyldpc_contract():
     y = jnp.asarray([1.0, -2.0])
     got = np.asarray(llr_from_yobs(y, 1.0))
     np.testing.assert_allclose(got, 2 * np.asarray(y) / 10 ** (-0.1), rtol=1e-6)
+
+
+def test_minsum_decoder_corrects_errors():
+    code = make_regular_ldpc(512, 4, 8, seed=0)
+    rng = np.random.default_rng(5)
+    u = rng.integers(0, 2, size=(4, code.k))
+    cw = np.asarray(ldpc_encode(code, jnp.asarray(u))).astype(np.float32)
+    llr = (1 - 2 * cw) * 8.0
+    for b in range(4):
+        idx = rng.choice(code.n, size=8, replace=False)
+        llr[b, idx] *= -1
+    d = np.asarray(ldpc_decode_bp(code, jnp.asarray(llr), max_iter=50,
+                                  algo="minsum"))
+    np.testing.assert_array_equal(d, cw.astype(np.int8))
+
+
+def test_minsum_close_to_sumprod_on_awgn():
+    code = make_regular_ldpc(512, 4, 8, seed=0)
+    rng = np.random.default_rng(6)
+    B = 24
+    u = rng.integers(0, 2, size=(B, code.k))
+    cw = np.asarray(ldpc_encode(code, jnp.asarray(u))).astype(np.float64)
+    rate = code.k / code.n
+    sigma = np.sqrt(1.0 / (2 * rate * 10 ** (3.0 / 10)))
+    y = (1 - 2 * cw) + sigma * rng.standard_normal(cw.shape)
+    llr = jnp.asarray(2 * y / sigma**2, dtype=jnp.float32)
+    ber_sp = np.mean(np.asarray(ldpc_decode_bp(code, llr, 60))[:, code.m:] != u)
+    ber_ms = np.mean(np.asarray(
+        ldpc_decode_bp(code, llr, 60, algo="minsum"))[:, code.m:] != u)
+    assert ber_ms < max(3 * ber_sp, 0.01)

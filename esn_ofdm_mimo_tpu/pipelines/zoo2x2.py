@@ -88,6 +88,13 @@ def run_zoo_blocks(cfg: SimConfig, ebno_db, bkeys, epochs: int = 50
     y_cp = apply_fir_channel(state.taps, x_cp) + noise
     X_in, X_out = build_esn_io(y_cp, x_cp, delay)      # (B, T+d, 2n_rx/2n_tx)
 
+    # per-block feature standardisation for the NN/ELM models (the reference
+    # fits mean/std on the pilot and applies them at detection,
+    # Demo_MIMO_2x2_all_DL_model_comparion.py:163-170)
+    feat_mu = jnp.mean(X_in, axis=1, keepdims=True)          # (B, 1, 2n_rx)
+    feat_sd = jnp.std(X_in, axis=1, keepdims=True) + 1e-9
+    X_in_std = (X_in - feat_mu) / feat_sd
+
     kroot = fold_key(bkeys[0], _K_ZOO)
     kc, kr, kf, ke = jax.random.split(kroot, 4)
 
@@ -111,12 +118,12 @@ def run_zoo_blocks(cfg: SimConfig, ebno_db, bkeys, epochs: int = 50
                                   epochs=epochs, lr=3e-3)
         return res.params, res.losses[-1]
 
-    cnn_p, cnn_l = jax.vmap(train_cnn)(X_in, X_out, jax.random.split(kc, B))
-    rnn_p, rnn_l = jax.vmap(train_rnn)(X_in, X_out, jax.random.split(kr, B))
-    fnn_p, fnn_l = jax.vmap(train_fnn)(X_in, X_out, jax.random.split(kf, B))
+    cnn_p, cnn_l = jax.vmap(train_cnn)(X_in_std, X_out, jax.random.split(kc, B))
+    rnn_p, rnn_l = jax.vmap(train_rnn)(X_in_std, X_out, jax.random.split(kr, B))
+    fnn_p, fnn_l = jax.vmap(train_fnn)(X_in_std, X_out, jax.random.split(kf, B))
 
     elm0 = init_elm(ke, WINDOW * 2 * n_rx, 128, 2 * n_tx)
-    feats = zoo.window_flatten(X_in, WINDOW)
+    feats = zoo.window_flatten(X_in_std, WINDOW)
     elm_p = elm_fit(elm0, feats, X_out)                 # batched closed form
 
     # ---- data-path detection for the extra models ----
@@ -131,6 +138,8 @@ def run_zoo_blocks(cfg: SimConfig, ebno_db, bkeys, epochs: int = 50
     y_cp_d = apply_fir_channel(state.taps[:, None], x_cp_d) + noise_d
     Yin = build_esn_input(y_cp_d.reshape(B * D, n_rx, N + cp), delay)
     Yin = Yin.reshape(B, D, -1, 2 * n_rx)
+    # apply the pilot-fitted standardisation at detection time
+    Yin = (Yin - feat_mu[:, None]) / feat_sd[:, None]
 
     X_hat = dict(data.X_hat)
 

@@ -24,6 +24,12 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--outdir", default="results/classification")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--frontend", choices=("sm1", "sm2"), default="sm1",
+                    help="sm1 = the reference's Sionna operating point "
+                         "(5G grid + spatial CDL-B + LS-nn + LMMSE); "
+                         "sm2 = this framework's own comb-pilot CDL link")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="sm1 batch size (reference batch_size_sim=64)")
     args = ap.parse_args(argv)
 
     from ..experiments.presets import mimo_4x8_cdl
@@ -37,9 +43,12 @@ def main(argv=None):
         tuple(float(x) for x in range(0, 21, 2)))
     blocks = args.blocks or (2 if args.fast else 8)
     epochs = args.epochs or (60 if args.fast else 200)
+    batch = args.batch or (16 if args.fast else 64)
 
     results = run_classification_experiment(cfg, blocks=blocks, epochs=epochs,
-                                            seed=args.seed)
+                                            seed=args.seed,
+                                            frontend=args.frontend,
+                                            batch=batch)
     os.makedirs(args.outdir, exist_ok=True)
     models = sorted(next(iter(results.values())).keys())
     ser = {m: [results[e][m]["ser"] for e in sorted(results)] for m in models}

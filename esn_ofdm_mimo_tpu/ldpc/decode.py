@@ -49,8 +49,8 @@ def _leave_one_out_prod(t: jnp.ndarray) -> jnp.ndarray:
 
 
 def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100,
-                   algo: str = "sumprod", minsum_scale: float = 0.75
-                   ) -> jnp.ndarray:
+                   algo: str = "sumprod", minsum_scale: float = 0.75,
+                   return_stats: bool = False):
     """Decode B codewords. llr (B, n) channel LLRs (positive <=> bit 0).
 
     algo="sumprod" reproduces pyldpc's tanh-rule updates (the parity
@@ -58,7 +58,11 @@ def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100,
     (sign-product x scaled second-min magnitude) — cheaper per iteration,
     the classic hardware decoder; ~0.1-0.2 dB from sum-product at rate 1/2.
 
-    Returns hard codeword bits (B, n) int8.
+    Returns hard codeword bits (B, n) int8. With return_stats=True also
+    returns {"iterations": (B,) int32 first zero-syndrome iteration (0 =
+    already clean, max_iter = never converged), "converged": (B,) bool} —
+    the early-termination telemetry the decode phase is profiled by
+    (SURVEY.md §5 observability; reference has only a maxiter knob).
     """
     B, n = llr.shape
     m, dc = code.ck_cols.shape
@@ -116,24 +120,30 @@ def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100,
     r0 = jnp.zeros((B, m, dc), dtype=jnp.float32)
     d0 = (Lc < 0).astype(jnp.int8)
     done0 = syndrome_ok(d0)
+    conv0 = jnp.where(done0, 0, max_iter).astype(jnp.int32)
 
     def cond(state):
-        it, _, _, done = state
+        it, _, _, done, _ = state
         return jnp.logical_and(it < max_iter, jnp.logical_not(jnp.all(done)))
 
     def body(state):
-        it, r, d_final, done = state
+        it, r, d_final, done, conv_it = state
         r_new, _ = bp_iter(r)
         L_post = Lc + sum_r_per_var(r_new)
         d_new = (L_post < 0).astype(jnp.int8)
         ok = syndrome_ok(d_new)
+        just = ~done & ok
         # freeze the decision of codewords that just converged
-        d_final = jnp.where((~done & ok)[:, None], d_new, d_final)
-        return it + 1, r_new, d_final, done | ok
+        d_final = jnp.where(just[:, None], d_new, d_final)
+        conv_it = jnp.where(just, it + 1, conv_it)
+        return it + 1, r_new, d_final, done | ok, conv_it
 
-    it, r, d_final, done = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), r0, d0, done0))
+    it, r, d_final, done, conv_it = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), r0, d0, done0, conv0))
     # codewords that never converged keep their final-iteration posterior
     L_last = Lc + sum_r_per_var(r)
     d_last = (L_last < 0).astype(jnp.int8)
-    return jnp.where(done[:, None], d_final, d_last)
+    bits = jnp.where(done[:, None], d_final, d_last)
+    if return_stats:
+        return bits, {"iterations": conv_it, "converged": done}
+    return bits

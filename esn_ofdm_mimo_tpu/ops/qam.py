@@ -67,6 +67,83 @@ def hard_demap_index(symbols: jnp.ndarray, bits_per_symbol: int) -> jnp.ndarray:
     return jnp.argmin(d2, axis=-1)
 
 
+@functools.lru_cache(maxsize=None)
+def _pam_gray(bits: tuple) -> float:
+    """Gray-labelled PAM amplitude for an MSB-first bit tuple (3GPP / Sionna
+    convention: recursively p(b) = (1-2 b0) * (2^(len-1) - p(b1:)))."""
+    if len(bits) > 1:
+        return (1 - 2 * bits[0]) * (2 ** (len(bits) - 1) - _pam_gray(bits[1:]))
+    return float(1 - 2 * bits[0])
+
+
+@functools.lru_cache(maxsize=None)
+def _constellation_gray_np(bits_per_symbol: int) -> np.ndarray:
+    """Unit-power Gray-labelled square QAM, system-model-1 convention.
+
+    The reference's Sionna pipelines use `sionna.mapping.Mapper("qam", m)`
+    (esn_ofdm_mimo_via_cdl.py:70): index bits MSB-first, even-position bits
+    form the real PAM coordinate and odd-position bits the imaginary one,
+    each Gray-labelled; normalized to unit average energy.
+    """
+    m = bits_per_symbol
+    assert m % 2 == 0, "square QAM needs an even number of bits"
+    pts = np.empty(2 ** m, dtype=np.complex128)
+    for idx in range(2 ** m):
+        b = tuple((idx >> (m - 1 - i)) & 1 for i in range(m))
+        pts[idx] = _pam_gray(b[0::2]) + 1j * _pam_gray(b[1::2])
+    return (pts / np.sqrt(np.mean(np.abs(pts) ** 2))).astype(np.complex64)
+
+
+def qam_constellation_gray(bits_per_symbol: int) -> jnp.ndarray:
+    """(M,) complex64 Gray/Sionna-convention unit-power constellation."""
+    return jnp.asarray(_constellation_gray_np(bits_per_symbol))
+
+
+@functools.lru_cache(maxsize=None)
+def _bit_labels_msb_np(bits_per_symbol: int) -> np.ndarray:
+    """(M, m) int32; row idx = natural-binary MSB-first bits of idx (the
+    system-model-1 label convention, esn_ofdm_mimo_via_cdl.py:81-93)."""
+    m = bits_per_symbol
+    idx = np.arange(2 ** m, dtype=np.int64)
+    shifts = np.arange(m - 1, -1, -1)
+    return ((idx[:, None] >> shifts[None, :]) & 1).astype(np.int32)
+
+
+def qam_bit_labels_msb(bits_per_symbol: int) -> jnp.ndarray:
+    return jnp.asarray(_bit_labels_msb_np(bits_per_symbol))
+
+
+def bits_to_symbols_gray(bits: jnp.ndarray, bits_per_symbol: int) -> jnp.ndarray:
+    """Map bits (..., n_sym * m) -> Gray-QAM symbols (..., n_sym), MSB-first
+    packing (system model 1: idx = sum_i bits[..., k*m + i] * 2^(m-1-i))."""
+    m = bits_per_symbol
+    const = qam_constellation_gray(m)
+    *lead, nbits = bits.shape
+    groups = bits.reshape(*lead, nbits // m, m)
+    powers = (2 ** jnp.arange(m - 1, -1, -1)).astype(jnp.int32)
+    idx = jnp.sum(groups.astype(jnp.int32) * powers, axis=-1)
+    return const[idx]
+
+
+def bits_to_index_msb(bits: jnp.ndarray, bits_per_symbol: int) -> jnp.ndarray:
+    """Pack bits (..., n_sym * m) -> symbol indices (..., n_sym), MSB-first
+    (reference bits_to_symbol_indices, esn_ofdm_mimo_via_cdl.py:81-87)."""
+    m = bits_per_symbol
+    *lead, nbits = bits.shape
+    groups = bits.reshape(*lead, nbits // m, m)
+    powers = (2 ** jnp.arange(m - 1, -1, -1)).astype(jnp.int32)
+    return jnp.sum(groups.astype(jnp.int32) * powers, axis=-1)
+
+
+def hard_demap_index_gray(symbols: jnp.ndarray,
+                          bits_per_symbol: int) -> jnp.ndarray:
+    """Nearest-point index in the Gray/Sionna constellation (the reference's
+    hard SymbolDemapper, esn_ofdm_mimo_via_cdl.py:281-284)."""
+    const = qam_constellation_gray(bits_per_symbol)
+    d2 = jnp.abs(symbols[..., None] - const) ** 2
+    return jnp.argmin(d2, axis=-1)
+
+
 def symbols_to_bits_hard(symbols: jnp.ndarray, bits_per_symbol: int) -> jnp.ndarray:
     """Hard demap (..., n_sym) -> bits (..., n_sym * m), LSB-first.
 

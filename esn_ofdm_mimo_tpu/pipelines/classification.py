@@ -27,7 +27,12 @@ import numpy as np
 from ..config import SimConfig
 from ..models import classifiers as clf
 from ..models.zoo import train_classifier_cached as train_classifier
-from ..ops.qam import qam_bit_labels, hard_demap_index
+from ..ops.qam import (bits_to_index_msb, hard_demap_index,
+                       hard_demap_index_gray, qam_bit_labels,
+                       qam_bit_labels_msb, qam_constellation_gray)
+from ..sm1 import cdl as sm1_cdl
+from ..sm1 import grid as sm1_grid
+from ..sm1 import rx as sm1_rx
 from ..utils.rng import fold_key
 from .common import data_bits_for_blocks, detect_data_symbols, synth_block
 
@@ -53,6 +58,59 @@ def make_equalized_dataset(cfg: SimConfig, ebno_db, bkeys) -> SymbolDataset:
     return SymbolDataset(x=x, labels=labels.astype(jnp.int32))
 
 
+def make_equalized_dataset_sm1(ebno_db, key, batch: int = 64,
+                               bits_per_symbol: int = 4,
+                               coderate: float = 0.5,
+                               rg: sm1_grid.ResourceGrid | None = None,
+                               cdl_cfg: sm1_cdl.CdlConfig | None = None
+                               ) -> SymbolDataset:
+    """The reference's exact system-model-1 dataset (esn_ofdm_mimo_via_cdl.py
+    :235-262): uniform coded bits -> Gray 16-QAM -> 5G resource grid with
+    kronecker pilots -> spatial CDL-B -> per-RE channel + AWGN -> LS(nn)
+    estimate -> unbiased LMMSE -> flatten (re, im) with MSB-first index
+    labels.
+
+    The reference's LDPC5GEncoder output is modelled as i.i.d. uniform bits
+    (codeword bits of a linear code on uniform info bits are uniform; the
+    classifiers never see the decoder), documented deviation.
+    """
+    rg = rg or sm1_grid.ResourceGrid(num_streams=4)
+    cdl_cfg = cdl_cfg or sm1_cdl.CdlConfig()
+    m = bits_per_symbol
+    k_bits, k_pil, k_ch, k_noise = jax.random.split(key, 4)
+
+    no = sm1_grid.ebnodb2no(ebno_db, m, coderate, rg)
+    S, D = rg.num_streams, rg.num_data_symbols
+    c = jax.random.randint(k_bits, (batch, S, D * m), 0, 2,
+                           dtype=jnp.int32)
+    const = qam_constellation_gray(m)
+    labels = bits_to_index_msb(c, m)                      # (B, S, D)
+    x_data = const[labels]
+    pilots = rg.pilot_grid(k_pil)
+    x_rg = rg.map_data(x_data, pilots)                    # (B, S, T, F)
+
+    # spatial CDL-B at the grid's symbol rate, evaluated on the effective bins
+    a, tau = sm1_cdl.cdl_cir(cdl_cfg, k_ch, batch, rg.num_ofdm_symbols,
+                             1.0 / rg.ofdm_symbol_duration)
+    freqs = sm1_grid.subcarrier_frequencies(rg)[rg.effective_subcarriers]
+    h = sm1_cdl.cir_to_ofdm_channel(freqs, a, tau)        # (B, T, F, U, S)
+
+    # per-RE apply + AWGN: y[b,t,f,u] = sum_s h x + n  (ApplyOFDMChannel)
+    xg = jnp.moveaxis(x_rg, 1, -1)                        # (B, T, F, S)
+    y = jnp.sum(h * xg[..., None, :], axis=-1)
+    nre, nim = jax.random.normal(k_noise, (2, *y.shape), jnp.float32)
+    y = y + jnp.sqrt(no / 2.0) * (nre + 1j * nim)
+
+    h_hat, err_var = sm1_rx.ls_nn_estimate(rg, y, pilots, no)
+    x_hat, _ = sm1_rx.lmmse_equalize_grid(h_hat, y, err_var, no)
+    # data REs only, stream-major flatten (B, S, T_data, F) like the
+    # reference's x_hat tensor [batch, tx, stream, num_data_symbols]
+    x_dat = rg.extract_data(jnp.moveaxis(x_hat, -1, 1))   # (B, S, D)
+    z = x_dat.reshape(-1)
+    x = jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1).astype(jnp.float32)
+    return SymbolDataset(x=x, labels=labels.reshape(-1).astype(jnp.int32))
+
+
 def split_dataset(ds: SymbolDataset, key, train_frac: float = 0.8
                   ) -> Tuple[SymbolDataset, SymbolDataset]:
     """Random 80/20 split (reference :268-281)."""
@@ -71,8 +129,9 @@ def count_params(tree) -> int:
                    for x in jax.tree.leaves(tree)))
 
 
-def _ser_ber(pred_idx, true_idx, m) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    labels = qam_bit_labels(m)
+def _ser_ber(pred_idx, true_idx, m,
+             msb: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    labels = qam_bit_labels_msb(m) if msb else qam_bit_labels(m)
     ser = jnp.mean((pred_idx != true_idx).astype(jnp.float32))
     ber = jnp.mean((labels[pred_idx] != labels[true_idx]).astype(jnp.float32))
     return ser, ber
@@ -80,30 +139,36 @@ def _ser_ber(pred_idx, true_idx, m) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def train_and_evaluate_zoo(cfg: SimConfig, train: SymbolDataset,
                            test: SymbolDataset, key,
-                           epochs: int = 200) -> Dict[str, Dict[str, float]]:
+                           epochs: int = 200,
+                           gray: bool = False) -> Dict[str, Dict[str, float]]:
     """Train all seven detectors, return {model: {ser, ber}} on the test set
-    (reference SER/BER tables, esn_via_cdl_all_model.py:453-472)."""
+    (reference SER/BER tables, esn_via_cdl_all_model.py:453-472).
+
+    gray=True evaluates against the system-model-1 label convention
+    (Gray/Sionna constellation, MSB-first bit labels)."""
     m = cfg.ofdm.bits_per_symbol
     n_classes = 2 ** m
     results = {}
 
     # traditional nearest-point demapper (jitted as one program: eager
     # complex ops would hit the axon backend's unimplemented c64 transfers)
-    @functools.partial(jax.jit, static_argnums=2)
-    def _trad(x, labels, m):
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def _trad(x, labels, m, gray):
         z = x[:, 0] + 1j * x[:, 1]
-        return _ser_ber(clf.traditional_demap(z, m), labels, m)
+        idx = (hard_demap_index_gray(z, m) if gray
+               else clf.traditional_demap(z, m))
+        return _ser_ber(idx, labels, m, msb=gray)
 
-    ser, ber = _trad(test.x, test.labels, m)
+    ser, ber = _trad(test.x, test.labels, m, gray)
     results["traditional"] = {"ser": float(ser), "ber": float(ber)}
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
-    def _pred_eval(apply_fn, params, x, m, labels):
+    @functools.partial(jax.jit, static_argnums=(0, 3, 5))
+    def _pred_eval(apply_fn, params, x, m, labels, msb):
         pred = jnp.argmax(apply_fn(params, x), axis=-1)
-        return _ser_ber(pred, labels, m)
+        return _ser_ber(pred, labels, m, msb=msb)
 
     def eval_logits(apply_fn, params):
-        ser, ber = _pred_eval(apply_fn, params, test.x, m, test.labels)
+        ser, ber = _pred_eval(apply_fn, params, test.x, m, test.labels, gray)
         return {"ser": float(ser), "ber": float(ber)}
 
     # ESN single-step (random features + trained softmax readout); the
@@ -137,14 +202,14 @@ def train_and_evaluate_zoo(cfg: SimConfig, train: SymbolDataset,
         results[name]["params"] = count_params(params)
 
     # ELM closed form (fit + eval in one jitted program)
-    @functools.partial(jax.jit, static_argnums=(4, 5))
-    def _elm_fit_eval(p0, xtr, ytr, xte, n_classes, m, yte):
+    @functools.partial(jax.jit, static_argnums=(4, 5, 7))
+    def _elm_fit_eval(p0, xtr, ytr, xte, n_classes, m, yte, msb):
         p = clf.elm_fit_classifier(p0, xtr, ytr, n_classes)
-        return _ser_ber(clf.elm_classifier_predict(p, xte), yte, m)
+        return _ser_ber(clf.elm_classifier_predict(p, xte), yte, m, msb=msb)
 
     p_elm0 = clf.elm_classifier_init(k6, n_hidden=600, n_classes=n_classes)
     ser, ber = _elm_fit_eval(p_elm0, train.x, train.labels, test.x,
-                             n_classes, m, test.labels)
+                             n_classes, m, test.labels, gray)
     results["elm"] = {"ser": float(ser), "ber": float(ber),
                       "params": count_params(p_elm0.W2)}
 
@@ -152,19 +217,34 @@ def train_and_evaluate_zoo(cfg: SimConfig, train: SymbolDataset,
 
 
 def run_classification_experiment(cfg: SimConfig, blocks: int = 8,
-                                  epochs: int = 200, seed: int = 0
+                                  epochs: int = 200, seed: int = 0,
+                                  frontend: str = "sm1", batch: int = 64
                                   ) -> Dict[float, Dict[str, Dict[str, float]]]:
-    """Full SER/BER-vs-SNR sweep of the classifier zoo."""
+    """Full SER/BER-vs-SNR sweep of the classifier zoo.
+
+    frontend="sm1" (default) reproduces the reference's Sionna operating
+    point (5G resource grid + spatial CDL-B + LS(nn) + LMMSE; `batch` is
+    the reference's batch_size_sim=64). frontend="sm2" keeps the original
+    deviation: this framework's own comb-pilot CDL link as the dataset
+    source (`blocks` coherence blocks per SNR).
+    """
     from ..utils.rng import block_keys
     root = jax.random.PRNGKey(seed)
+    gray = frontend == "sm1"
     out = {}
+    sm1_builder = jax.jit(functools.partial(
+        make_equalized_dataset_sm1, batch=batch,
+        bits_per_symbol=cfg.ofdm.bits_per_symbol))
     for jj, ebno in enumerate(cfg.ebno_db):
-        bkeys = block_keys(root, jj, jnp.arange(blocks, dtype=jnp.uint32))
-        ds = jax.jit(lambda e, k: make_equalized_dataset(cfg, e, k))(
-            jnp.float32(ebno), bkeys)
+        if frontend == "sm1":
+            ds = sm1_builder(jnp.float32(ebno), fold_key(root, 55, jj))
+        else:
+            bkeys = block_keys(root, jj, jnp.arange(blocks, dtype=jnp.uint32))
+            ds = jax.jit(lambda e, k: make_equalized_dataset(cfg, e, k))(
+                jnp.float32(ebno), bkeys)
         ktr = fold_key(root, 77, jj)
         train, test = split_dataset(ds, ktr)
         out[float(ebno)] = train_and_evaluate_zoo(cfg, train, test,
                                                   fold_key(root, 88, jj),
-                                                  epochs=epochs)
+                                                  epochs=epochs, gray=gray)
     return out

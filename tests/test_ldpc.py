@@ -109,3 +109,24 @@ def test_minsum_close_to_sumprod_on_awgn():
     ber_ms = np.mean(np.asarray(
         ldpc_decode_bp(code, llr, 60, algo="minsum"))[:, code.m:] != u)
     assert ber_ms < max(3 * ber_sp, 0.01)
+
+
+def test_decode_early_termination_stats():
+    """return_stats reports per-codeword convergence iteration: clean
+    codewords 0 iterations, lightly corrupted a few, garbage never."""
+    code = make_regular_ldpc(512, 4, 8, seed=0)
+    rng = np.random.default_rng(3)
+    u = rng.integers(0, 2, size=(3, code.k))
+    cw = np.asarray(ldpc_encode(code, jnp.asarray(u))).astype(np.float32)
+    llr = (1 - 2 * cw) * 10.0
+    llr[1, rng.choice(code.n, size=8, replace=False)] *= -1   # few flips
+    llr[2] = rng.normal(size=code.n).astype(np.float32) * 0.1  # garbage
+    d, stats = ldpc_decode_bp(code, jnp.asarray(llr), max_iter=30,
+                              return_stats=True)
+    it = np.asarray(stats["iterations"])
+    conv = np.asarray(stats["converged"])
+    assert it[0] == 0 and conv[0]
+    assert 0 < it[1] <= 30 and conv[1]
+    assert np.array_equal(np.asarray(d[:2]), cw[:2].astype(np.int8))
+    if not conv[2]:
+        assert it[2] == 30

@@ -42,11 +42,19 @@ if _os.environ.get("JAX_PLATFORMS"):
     except Exception:
         pass
 
-# TPU matmuls default to bf16 MXU passes; this framework's iterative solvers
-# (Newton-Schulz readout solve) and its DFT/equalizer matmuls are
-# precision-sensitive — a bf16 DFT alone would floor the simulated EVM near
-# the BER operating points. Monte-Carlo throughput is still enormous at f32
-# (bench.py), and individual kernels can opt down explicitly where safe.
-_jax.config.update("jax_default_matmul_precision", "highest")
+# TPU matmuls default to single-pass bf16 on the MXU, which visibly shifts
+# BER curves (a bf16 DFT alone floors the simulated EVM near the operating
+# points). The framework therefore runs the data path at "high" (3-pass
+# bf16, ~f32-accurate) and pins the solver-critical contractions (readout
+# gram + Newton-Schulz, models/esn._readout_lstsq /
+# ops/linalg_mxu.pd_solve_ns) to HIGHEST explicitly — at anything less the
+# readout solve diverges. Validated on the flagship 4x8 CDL curve:
+# "high" is BER-identical to "highest" for the classical detectors (same
+# keys, 5-digit agreement) and within run-to-run variance for the ESN,
+# while +37% detected-symbols/s (docs/ENVIRONMENT.md). Override with
+# ESN_TPU_MATMUL_PRECISION={default,high,highest}.
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("ESN_TPU_MATMUL_PRECISION", "high"))
 
 from . import ops  # noqa: F401

@@ -24,6 +24,7 @@ pyESN so that every contraction is a row-major `x @ W`:
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -139,6 +140,10 @@ def _readout_lstsq(ext: jnp.ndarray, tgt: jnp.ndarray,
     """
     from ..ops.linalg_mxu import pd_solve_ns
     _, R, F = ext.shape
+    # gram formation + refinement are precision-critical (pinned HIGHEST
+    # like pd_solve_ns itself) so the data path's global matmul precision
+    # can be lowered without touching the readout solve
+    es = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
     def _jittered(A):
         n = A.shape[-1]
@@ -146,32 +151,32 @@ def _readout_lstsq(ext: jnp.ndarray, tgt: jnp.ndarray,
         return A + (rel_jitter * tr)[:, None, None] * jnp.eye(n, dtype=A.dtype)
 
     if F <= R:  # tall: primal normal equations (F x F gram)
-        A = _jittered(jnp.einsum("brf,brg->bfg", ext, ext))
+        A = _jittered(es("brf,brg->bfg", ext, ext))
 
         def solve(rhs):
             return pd_solve_ns(A, rhs, iters=40, refine=2)
 
-        b = jnp.einsum("brf,bro->bfo", ext, tgt)
+        b = es("brf,bro->bfo", ext, tgt)
         x = solve(b)
         # one refinement step against the *original* LS operator (recomputing
         # ext products instead of reusing the rounded gram) recovers most of
         # the precision the f32 normal equations lose
-        resid = jnp.einsum("brf,bro->bfo", ext,
-                           tgt - jnp.einsum("brf,bfo->bro", ext, x))
+        resid = es("brf,bro->bfo", ext,
+                   tgt - es("brf,bfo->bro", ext, x))
         return x + solve(resid)
 
     # wide: dual/kernel form (R x R gram), min-norm solution
-    K = _jittered(jnp.einsum("brf,bsf->brs", ext, ext))
+    K = _jittered(es("brf,bsf->brs", ext, ext))
 
     def solve(rhs):
         return pd_solve_ns(K, rhs, iters=40, refine=2)
 
     def apply_K(z):  # K @ z recomputed from ext to dodge gram rounding
-        return jnp.einsum("brf,bso,bsf->bro", ext, z, ext)
+        return es("brf,bso,bsf->bro", ext, z, ext)
 
     z = solve(tgt)
     z = z + solve(tgt - apply_K(z))
-    return jnp.einsum("brf,bro->bfo", ext, z)
+    return es("brf,bro->bfo", ext, z)
 
 
 def esn_fit(res: EsnReservoir, scale: EsnScale, inputs: jnp.ndarray,

@@ -125,9 +125,11 @@ def _train_regressor_jit(apply_fn, params, X, Y, epochs, lr):
     return train_regressor(apply_fn, params, X, Y, epochs, lr)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
-def _train_classifier_jit(apply_fn, params, X, labels, epochs, lr, l2):
-    return train_classifier(apply_fn, params, X, labels, epochs, lr, l2)
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
+def _train_classifier_jit(apply_fn, params, X, labels, epochs, lr, l2,
+                          l2_keys):
+    return train_classifier(apply_fn, params, X, labels, epochs, lr, l2,
+                            l2_keys)
 
 
 def train_regressor_cached(apply_fn, params, X, Y, epochs=50, lr=1e-3):
@@ -135,8 +137,9 @@ def train_regressor_cached(apply_fn, params, X, Y, epochs=50, lr=1e-3):
 
 
 def train_classifier_cached(apply_fn, params, X, labels, epochs=200,
-                            lr=1e-3, l2=0.0):
-    return _train_classifier_jit(apply_fn, params, X, labels, epochs, lr, l2)
+                            lr=1e-3, l2=0.0, l2_keys=None):
+    return _train_classifier_jit(apply_fn, params, X, labels, epochs, lr, l2,
+                                 l2_keys)
 
 
 def train_regressor(apply_fn: Callable, params, X: jnp.ndarray,
@@ -165,15 +168,23 @@ def train_regressor(apply_fn: Callable, params, X: jnp.ndarray,
 
 def train_classifier(apply_fn: Callable, params, X: jnp.ndarray,
                      labels: jnp.ndarray, epochs: int = 200, lr: float = 1e-3,
-                     l2: float = 0.0) -> TrainResult:
+                     l2: float = 0.0, l2_keys=None) -> TrainResult:
     """Full-batch Adam on softmax cross-entropy (the Sionna-pipeline training
-    loop, esn_via_cdl_all_model.py:200-213)."""
+    loop, esn_via_cdl_all_model.py:200-213).
+
+    l2_keys: when params is a dict, restrict the L2 penalty to these
+    top-level entries (the reference regularizes only the trainable readout
+    weights, :205-213). Penalizing everything would hand Adam a nonzero
+    gradient on entries the apply_fn freezes with stop_gradient (e.g. the
+    fixed reservoir W_in) and silently decay them to zero.
+    """
     opt = optax.adam(lr)
 
     def loss_fn(p):
         logits = apply_fn(p, X)
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
-        reg = sum(jnp.sum(leaf ** 2) for leaf in jax.tree.leaves(p))
+        reg_tree = ({k: p[k] for k in l2_keys} if l2_keys is not None else p)
+        reg = sum(jnp.sum(leaf ** 2) for leaf in jax.tree.leaves(reg_tree))
         return jnp.mean(ce) + l2 * reg
 
     def step(carry, _):

@@ -18,6 +18,8 @@ iteration on the MXU beat a host-style factorization.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -138,14 +140,18 @@ def pd_solve_ns(A: jnp.ndarray, b: jnp.ndarray, iters: int = 30,
     norminf = jnp.max(jnp.sum(jnp.abs(As), axis=-1), axis=-1)
     X = jnp.swapaxes(As, -1, -2) / (norm1 * norminf)[..., None, None]
     I2 = 2.0 * jnp.eye(F, dtype=A.dtype)
+    # the iteration is precision-critical: pinned to HIGHEST regardless of
+    # the global default (which the data path may lower for throughput) —
+    # at bf16 matmul precision Newton-Schulz diverges and the readout NaNs
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
     def body(_, X):
-        return X @ (I2 - As @ X)
+        return mm(X, I2 - mm(As, X))
 
     X = jax.lax.fori_loop(0, iters, body, X)
-    x = X @ bs
+    x = mm(X, bs)
     for _ in range(refine):
-        x = x + X @ (bs - As @ x)
+        x = x + mm(X, bs - mm(As, x))
     return x * s[..., :, None]
 
 

@@ -46,6 +46,12 @@ class CurveResult:
     total_bits: np.ndarray
     total_info_bits: np.ndarray
     n_blocks: np.ndarray
+    # LDPC decoder telemetry: mean BP iterations to convergence and the
+    # fraction of codewords that never reached a zero syndrome, per detector
+    ldpc_avg_iters: Dict[str, np.ndarray] = dataclasses.field(
+        default_factory=dict)
+    ldpc_unconverged_frac: Dict[str, np.ndarray] = dataclasses.field(
+        default_factory=dict)
 
 
 def _tree_add(a, b):
@@ -270,17 +276,23 @@ def assemble_curve(cfg: SimConfig, ebnos, acc_per_snr) -> CurveResult:
     tot = np.zeros(len(ebnos))
     toti = np.zeros(len(ebnos))
     nblk = np.zeros(len(ebnos))
+    avg_it = {d: np.zeros(len(ebnos)) for d in det}
+    unconv = {d: np.zeros(len(ebnos)) for d in det}
     for jj, acc in enumerate(acc_per_snr):
         tot[jj] = acc.total_bits
         toti[jj] = acc.total_info_bits
         nblk[jj] = acc.n_blocks
+        ncw = max(getattr(acc, "ldpc_codewords", 0), 1)
         for d in det:
             ber[d][jj] = acc.bit_errors[d] / max(acc.total_bits, 1)
             berc[d][jj] = acc.info_errors[d] / max(acc.total_info_bits, 1)
+            avg_it[d][jj] = getattr(acc, "ldpc_iter_sum", {}).get(d, 0) / ncw
+            unconv[d][jj] = getattr(acc, "ldpc_unconverged", {}).get(d, 0) / ncw
         cap[jj] = acc.capacity_sum / max(acc.n_blocks, 1)
         frk[jj] = acc.rank_full_sum / max(acc.rank_count, 1)
         chist[jj] = acc.cond_hist
     return CurveResult(ebno_db=np.asarray(ebnos), ber=ber, ber_coded=berc,
                        capacity_per_sc=cap, frac_rank_full=frk,
                        cond_hist=chist, total_bits=tot, total_info_bits=toti,
-                       n_blocks=nblk)
+                       n_blocks=nblk, ldpc_avg_iters=avg_it,
+                       ldpc_unconverged_frac=unconv)

@@ -36,6 +36,10 @@ class NbfCounts(NamedTuple):
     rank_count: jnp.ndarray
     cond_hist: jnp.ndarray      # (len(COND_BINS)+1,) histogram counts
     n_blocks: jnp.ndarray
+    # LDPC early-termination telemetry (SURVEY.md §5 observability):
+    ldpc_iter_sum: dict         # detector -> sum of per-codeword BP iterations
+    ldpc_unconverged: dict      # detector -> #codewords with nonzero syndrome
+    ldpc_codewords: jnp.ndarray  # decoded codewords per detector
 
 
 def decoded_symbol_indices(cfg: SimConfig) -> jnp.ndarray:
@@ -75,7 +79,10 @@ def run_nbf_blocks(cfg: SimConfig, ebno_db, bkeys,
 
     # ---- coded (post-LDPC) BER on every decode_every-th data symbol ----
     info_errors = {name: jnp.int32(0) for name in data.X_hat}
+    iter_sum = {name: jnp.int32(0) for name in data.X_hat}
+    unconv = {name: jnp.int32(0) for name in data.X_hat}
     total_info = jnp.int32(0)
+    n_codewords = jnp.int32(0)
     if code is not None:
         sel = decoded_symbol_indices(cfg)
         Dd = sel.shape[0]
@@ -94,10 +101,14 @@ def run_nbf_blocks(cfg: SimConfig, ebno_db, bkeys,
             llr = jnp.clip(llr, -cfg.ldpc.llr_clip, cfg.ldpc.llr_clip)
             y_obs = llr / 2.0 if cfg.ldpc.yobs_half else llr
             Lc = llr_from_yobs(y_obs, snr_db=1.0)
-            d_hat = ldpc_decode_bp(code, Lc.reshape(-1, N * m), max_iter)
+            d_hat, st = ldpc_decode_bp(code, Lc.reshape(-1, N * m), max_iter,
+                                       return_stats=True)
             u_hat = d_hat[:, code.m:].reshape(B, Dd, n_tx, code.k)
             info_errors[name] = jnp.sum((u_hat != u_sel).astype(jnp.int32))
+            iter_sum[name] = jnp.sum(st["iterations"])
+            unconv[name] = jnp.sum((~st["converged"]).astype(jnp.int32))
         total_info = jnp.asarray(u_sel.size, dtype=jnp.int32)
+        n_codewords = jnp.asarray(B * Dd * n_tx, dtype=jnp.int32)
 
     # ---- channel analytics from true H (:369-384) ----
     met = channel_svd_metrics(state.H_true, pi, No)
@@ -115,4 +126,6 @@ def run_nbf_blocks(cfg: SimConfig, ebno_db, bkeys,
         rank_count=jnp.asarray(met.rank.size, jnp.int32),
         cond_hist=cond_hist.astype(jnp.int32),
         n_blocks=jnp.asarray(batch, jnp.int32),
+        ldpc_iter_sum=iter_sum, ldpc_unconverged=unconv,
+        ldpc_codewords=n_codewords,
     )

@@ -177,8 +177,13 @@ def train_and_evaluate_zoo(cfg: SimConfig, train: SymbolDataset,
     p_esn = clf.esn_classifier_init(k1, n_res=600, n_classes=n_classes)
     esn_params = {"W_in": p_esn.W_in, "W_out": p_esn.W_out,
                   "b_out": p_esn.b_out}
+    # convex (linear-in-trainables) readout: 10x full-batch Adam steps at
+    # lr 1e-2 reach the optimum the reference approaches with 7.7k minibatch
+    # steps at lr 1e-4 (Adam + l2 on W_out, esn_via_cdl_all_model.py:205-213;
+    # tf.nn.l2_loss = sum(w^2)/2, hence l2 = lambda/2 here)
     tr = train_classifier(clf.esn_classifier_apply_full, esn_params,
-                          train.x, train.labels, epochs=epochs, l2=1e-6)
+                          train.x, train.labels, epochs=10 * epochs, lr=1e-2,
+                          l2=5e-5, l2_keys=("W_out",))
     results["esn"] = eval_logits(clf.esn_classifier_apply_full, tr.params)
     results["esn"]["params"] = count_params(clf.esn_classifier_trainable(p_esn))
 
@@ -186,7 +191,8 @@ def train_and_evaluate_zoo(cfg: SimConfig, train: SymbolDataset,
     p_desn = clf.deep_esn_init(k2, n_res=600, n_classes=n_classes)
     desn_params = {"W_in": p_desn.W_in, "hidden": p_desn.hidden}
     tr = train_classifier(clf.deep_esn_apply_full, desn_params,
-                          train.x, train.labels, epochs=epochs)
+                          train.x, train.labels, epochs=5 * epochs, lr=3e-3,
+                          l2=5e-5, l2_keys=("hidden",))
     results["deep_esn"] = eval_logits(clf.deep_esn_apply_full, tr.params)
     results["deep_esn"]["params"] = count_params(p_desn.hidden)
 

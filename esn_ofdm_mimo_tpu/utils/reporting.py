@@ -25,6 +25,10 @@ def save_nbf_results(outdir: str, cfg, res) -> None:
         "capacity_bits_per_sc": res.capacity_per_sc.tolist(),
         "frac_rank_ge_full": res.frac_rank_full.tolist(),
         "cond_hist": res.cond_hist.tolist(),
+        "ldpc_avg_iters": {d: v.tolist()
+                           for d, v in res.ldpc_avg_iters.items()},
+        "ldpc_unconverged_frac": {
+            d: v.tolist() for d, v in res.ldpc_unconverged_frac.items()},
         "meta": {"name": cfg.name, "N": cfg.ofdm.n_subcarriers,
                  "N_t": cfg.channel.n_tx, "N_r": cfg.channel.n_rx,
                  "reservoir": cfg.esn.n_reservoir},

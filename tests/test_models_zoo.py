@@ -123,3 +123,31 @@ def test_classification_pipeline_tiny():
                         "rnn", "elm"}
     assert res["traditional"]["ser"] < 0.5
     assert res["elm"]["ser"] < 0.6
+
+
+def test_train_classifier_l2_keys_preserve_frozen_weights():
+    """Regression: with l2 > 0, the penalty must cover only l2_keys —
+    penalizing everything hands Adam a gradient on stop_gradient-frozen
+    entries (the fixed reservoir W_in) and decays them to zero, which
+    silently zeroes the features and pins the model at chance level."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from esn_ofdm_mimo_tpu.models import classifiers as clf
+    from esn_ofdm_mimo_tpu.models.zoo import train_classifier
+
+    key = jax.random.PRNGKey(0)
+    p = clf.esn_classifier_init(key, n_res=64, n_classes=4)
+    params = {"W_in": p.W_in, "W_out": p.W_out, "b_out": p.b_out}
+    # 4 well-separated clusters in the (re, im) plane
+    centers = jnp.asarray([[1, 1], [1, -1], [-1, 1], [-1, -1]], jnp.float32)
+    labels = jax.random.randint(jax.random.fold_in(key, 1), (2048,), 0, 4)
+    x = centers[labels] + 0.1 * jax.random.normal(
+        jax.random.fold_in(key, 2), (2048, 2))
+    out = train_classifier(clf.esn_classifier_apply_full, params, x, labels,
+                           epochs=400, lr=1e-2, l2=5e-5, l2_keys=("W_out",))
+    # frozen reservoir untouched
+    np.testing.assert_array_equal(np.asarray(out.params["W_in"]),
+                                  np.asarray(p.W_in))
+    pred = jnp.argmax(clf.esn_classifier_apply_full(out.params, x), -1)
+    assert float(jnp.mean((pred != labels).astype(jnp.float32))) < 0.05

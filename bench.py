@@ -35,7 +35,11 @@ os.environ.setdefault(
 import numpy as np
 
 
-def _bench_tpu(n_blocks: int = 8, iters: int = 3) -> float:
+def _bench_tpu(n_blocks: int = 128, iters: int = 3) -> float:
+    """n_blocks=128 sits at the measured throughput plateau on v5e
+    (8 -> 15.5k, 32 -> 35.8k, 64 -> 45.7k, 128 -> 86.8k, 256 -> 90.9k
+    symbols/s after the precision split; earlier rounds' '8 is the sweet
+    spot' no longer holds)."""
     import jax
     import jax.numpy as jnp
     from esn_ofdm_mimo_tpu.experiments.presets import mimo_4x8_cdl

@@ -30,6 +30,9 @@ def main(argv=None):
                          "sm2 = this framework's own comb-pilot CDL link")
     ap.add_argument("--batch", type=int, default=None,
                     help="sm1 batch size (reference batch_size_sim=64)")
+    ap.add_argument("--variant", choices=("wide", "narrow"), default="wide",
+                    help="baseline widths: wide = esn_via_cdl_all_model.py"
+                         " (~600 units), narrow = esn_ofdm_mimo_via_cdl.py")
     args = ap.parse_args(argv)
 
     from ..experiments.presets import mimo_4x8_cdl
@@ -48,7 +51,7 @@ def main(argv=None):
     results = run_classification_experiment(cfg, blocks=blocks, epochs=epochs,
                                             seed=args.seed,
                                             frontend=args.frontend,
-                                            batch=batch)
+                                            batch=batch, variant=args.variant)
     os.makedirs(args.outdir, exist_ok=True)
     models = sorted(next(iter(results.values())).keys())
     ser = {m: [results[e][m]["ser"] for e in sorted(results)] for m in models}

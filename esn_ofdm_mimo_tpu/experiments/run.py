@@ -27,7 +27,10 @@ def main(argv=None) -> None:
     ap.add_argument("--blocks-per-snr", type=int, default=None,
                     help="Monte-Carlo blocks per SNR point "
                          "(default: reference-equivalent count)")
-    ap.add_argument("--blocks-per-device", type=int, default=2)
+    ap.add_argument("--blocks-per-device", type=int, default=16,
+                    help="coherence blocks per device per round; large "
+                         "batches are the TPU throughput plateau (bench.py "
+                         "sweep) and BER is layout-invariant by key design")
     ap.add_argument("--outdir", default=None)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--resume", action="store_true",

@@ -137,15 +137,29 @@ def _ser_ber(pred_idx, true_idx, m,
     return ser, ber
 
 
+# the reference ships two sm1 experiment variants with different baseline
+# widths (SURVEY.md §2.2): esn_via_cdl_all_model.py ("wide", ~600 units,
+# :125-182) and esn_ofdm_mimo_via_cdl.py ("narrow", :123-178)
+ZOO_VARIANTS = {
+    "wide": dict(deep_hidden=600, fnn_width=600, cnn_channels=128,
+                 cnn_hidden=600, rnn_hidden=600),
+    "narrow": dict(deep_hidden=128, fnn_width=32, cnn_channels=16,
+                   cnn_hidden=64, rnn_hidden=64),
+}
+
+
 def train_and_evaluate_zoo(cfg: SimConfig, train: SymbolDataset,
                            test: SymbolDataset, key,
                            epochs: int = 200,
-                           gray: bool = False) -> Dict[str, Dict[str, float]]:
+                           gray: bool = False,
+                           variant: str = "wide") -> Dict[str, Dict[str, float]]:
     """Train all seven detectors, return {model: {ser, ber}} on the test set
     (reference SER/BER tables, esn_via_cdl_all_model.py:453-472).
 
     gray=True evaluates against the system-model-1 label convention
-    (Gray/Sionna constellation, MSB-first bit labels)."""
+    (Gray/Sionna constellation, MSB-first bit labels). variant selects the
+    reference's baseline widths (ZOO_VARIANTS)."""
+    widths = ZOO_VARIANTS[variant]
     m = cfg.ofdm.bits_per_symbol
     n_classes = 2 ** m
     results = {}
@@ -188,7 +202,8 @@ def train_and_evaluate_zoo(cfg: SimConfig, train: SymbolDataset,
     results["esn"]["params"] = count_params(clf.esn_classifier_trainable(p_esn))
 
     # DeepESN (random features -> trainable ReLU head)
-    p_desn = clf.deep_esn_init(k2, n_res=600, n_classes=n_classes)
+    p_desn = clf.deep_esn_init(k2, n_res=600, n_hidden=widths["deep_hidden"],
+                               n_classes=n_classes)
     desn_params = {"W_in": p_desn.W_in, "hidden": p_desn.hidden}
     tr = train_classifier(clf.deep_esn_apply_full, desn_params,
                           train.x, train.labels, epochs=5 * epochs, lr=3e-3,
@@ -196,11 +211,18 @@ def train_and_evaluate_zoo(cfg: SimConfig, train: SymbolDataset,
     results["deep_esn"] = eval_logits(clf.deep_esn_apply_full, tr.params)
     results["deep_esn"]["params"] = count_params(p_desn.hidden)
 
-    # FNN / CNN / RNN
+    # FNN / CNN / RNN at the variant's widths
+    fnn_init = functools.partial(clf.fnn_classifier_init,
+                                 widths=(widths["fnn_width"],))
+    cnn_init = functools.partial(clf.cnn_classifier_init,
+                                 channels=widths["cnn_channels"],
+                                 n_hidden=widths["cnn_hidden"])
+    rnn_init = functools.partial(clf.rnn_classifier_init,
+                                 n_hidden=widths["rnn_hidden"])
     for name, init_fn, apply_fn, kk in (
-            ("fnn", clf.fnn_classifier_init, clf.fnn_classifier_apply, k3),
-            ("cnn", clf.cnn_classifier_init, clf.cnn_classifier_apply, k4),
-            ("rnn", clf.rnn_classifier_init, clf.rnn_classifier_apply, k5)):
+            ("fnn", fnn_init, clf.fnn_classifier_apply, k3),
+            ("cnn", cnn_init, clf.cnn_classifier_apply, k4),
+            ("rnn", rnn_init, clf.rnn_classifier_apply, k5)):
         params = init_fn(kk, n_classes=n_classes)
         tr = train_classifier(apply_fn, params, train.x, train.labels,
                               epochs=epochs)
@@ -224,7 +246,8 @@ def train_and_evaluate_zoo(cfg: SimConfig, train: SymbolDataset,
 
 def run_classification_experiment(cfg: SimConfig, blocks: int = 8,
                                   epochs: int = 200, seed: int = 0,
-                                  frontend: str = "sm1", batch: int = 64
+                                  frontend: str = "sm1", batch: int = 64,
+                                  variant: str = "wide"
                                   ) -> Dict[float, Dict[str, Dict[str, float]]]:
     """Full SER/BER-vs-SNR sweep of the classifier zoo.
 
@@ -252,5 +275,6 @@ def run_classification_experiment(cfg: SimConfig, blocks: int = 8,
         train, test = split_dataset(ds, ktr)
         out[float(ebno)] = train_and_evaluate_zoo(cfg, train, test,
                                                   fold_key(root, 88, jj),
-                                                  epochs=epochs, gray=gray)
+                                                  epochs=epochs, gray=gray,
+                                                  variant=variant)
     return out

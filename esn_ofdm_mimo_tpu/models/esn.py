@@ -138,11 +138,11 @@ def _readout_lstsq(ext: jnp.ndarray, tgt: jnp.ndarray,
     ext^T (ext ext^T + λI)^{-1} tgt is used — as λ→0 both forms converge to
     the minimum-norm pinv solution pyESN computes (pyESN.py:191).
     """
-    from ..ops.linalg_mxu import pd_solve_ns
+    from ..ops.linalg_mxu import ns_prepare
     _, R, F = ext.shape
     # gram formation + refinement are precision-critical (pinned HIGHEST
-    # like pd_solve_ns itself) so the data path's global matmul precision
-    # can be lowered without touching the readout solve
+    # like the Newton-Schulz iteration itself) so the data path's global
+    # matmul precision can be lowered without touching the readout solve
     es = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
     def _jittered(A):
@@ -152,10 +152,7 @@ def _readout_lstsq(ext: jnp.ndarray, tgt: jnp.ndarray,
 
     if F <= R:  # tall: primal normal equations (F x F gram)
         A = _jittered(es("brf,brg->bfg", ext, ext))
-
-        def solve(rhs):
-            return pd_solve_ns(A, rhs, iters=40, refine=2)
-
+        solve = ns_prepare(A, iters=40)  # one inverse shared by both solves
         b = es("brf,bro->bfo", ext, tgt)
         x = solve(b)
         # one refinement step against the *original* LS operator (recomputing
@@ -167,9 +164,7 @@ def _readout_lstsq(ext: jnp.ndarray, tgt: jnp.ndarray,
 
     # wide: dual/kernel form (R x R gram), min-norm solution
     K = _jittered(es("brf,bsf->brs", ext, ext))
-
-    def solve(rhs):
-        return pd_solve_ns(K, rhs, iters=40, refine=2)
+    solve = ns_prepare(K, iters=40)
 
     def apply_K(z):  # K @ z recomputed from ext to dodge gram rounding
         return es("brf,bso,bsf->bro", ext, z, ext)
@@ -201,7 +196,13 @@ def esn_predict(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
                 inputs: jnp.ndarray, n_forget: int, noise_key) -> jnp.ndarray:
     """Generate outputs with self-feedback (pyESN.predict, continuation=False).
 
-    inputs (B, T, n_in) raw; Wt_out (B, F, n_out); returns (B, T - n_forget,
+    inputs (B, T, n_in) raw; Wt_out (G, F, n_out) with B % G == 0: readout g
+    serves the contiguous group of B//G sequences starting at g*(B//G) — the
+    detect path runs D data symbols per coherence block against that block's
+    readout, and keeping the readout un-repeated turns the per-step readout
+    contraction into a G-batched (D, F) @ (F, n_out) matmul instead of B
+    broadcast matvecs re-reading a D-times-repeated readout tensor from HBM
+    every step. G == B is the fully-general case. Returns (B, T - n_forget,
     n_out) unscaled outputs — row r corresponds to input sample n_forget + r.
 
     The state at step n sees the model's own previous (scaled-domain) output
@@ -209,20 +210,28 @@ def esn_predict(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
     """
     B, T, n_in = inputs.shape
     n_res = res.Wt.shape[0]
-    n_out = Wt_out.shape[-1]
+    G, _, n_out = Wt_out.shape
+    assert B % G == 0, (B, G)
+    Dg = B // G
     u = _scale_inputs(scale, inputs)
-    Wt_s = Wt_out[:, :n_res, :]   # state part of the readout
-    Wt_u = Wt_out[:, n_res:, :]   # input part
+    Wt_s = Wt_out[:, :n_res, :]   # (G, n_res, n_out) state part of the readout
+    Wt_u = Wt_out[:, n_res:, :]   # (G, n_in, n_out) input part
 
     s0 = jnp.zeros((B, n_res), dtype=res.Wt.dtype)
     o0 = jnp.zeros((B, n_out), dtype=res.Wt.dtype)
+
+    def read_states(s):
+        """(B, n_res) @ grouped readout -> (B, n_out)."""
+        o = jnp.einsum("gdf,gfo->gdo", s.reshape(G, Dg, n_res), Wt_s)
+        return o.reshape(B, n_out)
 
     # hoist what the feedback loop permits: the input projection (one big
     # matmul) and the input part of the readout. State noise is generated
     # inside the loop from per-step keys — pre-drawing (T, B, n_res) noise
     # would stream ~100 MB of HBM per call at detect batch sizes.
     drive = u @ res.W_in_t                            # (B, T, n_res)
-    o_in = jnp.einsum("btf,bfo->bto", u, Wt_u)        # (B, T, n_out)
+    o_in = jnp.einsum("gtf,gfo->gto",
+                      u.reshape(G, Dg * T, n_in), Wt_u).reshape(B, T, n_out)
     keys = jax.random.split(noise_key, T)
 
     def step(carry, inp):
@@ -230,7 +239,7 @@ def esn_predict(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
         c_n, oi_n, k = inp
         z_n = res.noise * (jax.random.uniform(k, s.shape, dtype=s.dtype) - 0.5)
         s_next = jnp.tanh(s @ res.Wt + c_n + o_prev @ res.W_fb_t) + z_n
-        o_next = jnp.einsum("bf,bfo->bo", s_next, Wt_s) + oi_n
+        o_next = read_states(s_next) + oi_n
         return (s_next, o_next), o_next
 
     xs = (jnp.swapaxes(drive, 0, 1), jnp.swapaxes(o_in, 0, 1), keys)

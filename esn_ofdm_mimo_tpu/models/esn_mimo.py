@@ -110,6 +110,8 @@ def esn_detect_symbols(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
     """Detect one OFDM symbol per batch row.
 
     y_cp (B, n_rx, N+cp) complex -> X_hat (B, N, n_tx) frequency symbols.
+    Wt_out may be grouped, (G, F, n_out) with B % G == 0 (readout g serves
+    the contiguous run of B//G rows) — see esn_predict.
     """
     N = n_subcarriers
     X_in = build_esn_input(y_cp, delay)
@@ -118,6 +120,8 @@ def esn_detect_symbols(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
     n_res = res.Wt.shape[0]
     if _use_pallas("predict", B, T, n_res, n_in, Wt_out.shape[-1]):
         from .esn_pallas import esn_predict_pallas
+        if Wt_out.shape[0] != B:  # the fused kernel wants per-row readouts
+            Wt_out = jnp.repeat(Wt_out, B // Wt_out.shape[0], axis=0)
         pred = esn_predict_pallas(res, scale, Wt_out, X_in, n_forget, key)
     else:
         pred = esn_predict(res, scale, Wt_out, X_in, n_forget, key)

@@ -118,13 +118,14 @@ def solve_hermitian_small(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return xe[..., :n, :] + 1j * xe[..., n:, :]
 
 
-def pd_solve_ns(A: jnp.ndarray, b: jnp.ndarray, iters: int = 30,
-                refine: int = 2) -> jnp.ndarray:
-    """Batched SPD solve via Newton-Schulz inverse iteration.
+def ns_prepare(A: jnp.ndarray, iters: int = 30):
+    """Batched SPD Newton-Schulz inverse; returns a `solve(b, refine)` closure.
 
-    A (..., F, F) real SPD, b (..., F, k). X_{t+1} = X_t (2I - A X_t)
-    converges quadratically with X_0 = A^T / (||A||_1 ||A||_inf); a couple of
-    refinement steps against A polish the solution.
+    A (..., F, F) real SPD. X_{t+1} = X_t (2I - A X_t) converges quadratically
+    with X_0 = A^T / (||A||_1 ||A||_inf); refinement steps against A polish
+    each solution. Preparing once and solving several right-hand sides (the
+    readout's solution + its iterative-refinement residual) shares the
+    expensive inverse iteration.
 
     The system is Jacobi-prescaled (A -> D^-1/2 A D^-1/2 with D = diag(A)):
     the grams this framework produces mix features of very different scales
@@ -135,7 +136,6 @@ def pd_solve_ns(A: jnp.ndarray, b: jnp.ndarray, iters: int = 30,
     d = jnp.diagonal(A, axis1=-2, axis2=-1)
     s = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-30))           # (..., F)
     As = A * s[..., :, None] * s[..., None, :]
-    bs = b * s[..., :, None]
     norm1 = jnp.max(jnp.sum(jnp.abs(As), axis=-2), axis=-1)
     norminf = jnp.max(jnp.sum(jnp.abs(As), axis=-1), axis=-1)
     X = jnp.swapaxes(As, -1, -2) / (norm1 * norminf)[..., None, None]
@@ -149,10 +149,23 @@ def pd_solve_ns(A: jnp.ndarray, b: jnp.ndarray, iters: int = 30,
         return mm(X, I2 - mm(As, X))
 
     X = jax.lax.fori_loop(0, iters, body, X)
-    x = mm(X, bs)
-    for _ in range(refine):
-        x = x + mm(X, bs - mm(As, x))
-    return x * s[..., :, None]
+
+    def solve(b: jnp.ndarray, refine: int = 2) -> jnp.ndarray:
+        bs = b * s[..., :, None]
+        x = mm(X, bs)
+        for _ in range(refine):
+            x = x + mm(X, bs - mm(As, x))
+        return x * s[..., :, None]
+
+    return solve
+
+
+def pd_solve_ns(A: jnp.ndarray, b: jnp.ndarray, iters: int = 30,
+                refine: int = 2) -> jnp.ndarray:
+    """Batched SPD solve via Newton-Schulz inverse iteration (one RHS).
+
+    For several right-hand sides against the same A, use `ns_prepare`."""
+    return ns_prepare(A, iters)(b, refine)
 
 
 def _jacobi_sweeps_sym(G: jnp.ndarray, sweeps: int = 8) -> jnp.ndarray:

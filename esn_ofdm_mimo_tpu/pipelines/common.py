@@ -237,9 +237,12 @@ def detect_data_symbols(cfg: SimConfig, state: BlockState, ebno_db, bkeys,
     delay = cfg.esn.shared_delay(ofdm.isi_duration)
 
     def _esn(scale, Wt_out, tag):
+        # rows are block-major (D contiguous symbols per block), so the
+        # (B, F, n_out) readout is passed grouped — esn_predict batches the
+        # per-step readout contraction per block instead of re-reading a
+        # D-times-repeated readout tensor from HBM every scan step.
         y_flat = y_cp.reshape(B * D, n_rx, T)
-        W_rep = jnp.repeat(Wt_out, D, axis=0)
-        Xh = esn_detect_symbols(state.reservoir, scale, W_rep, y_flat, delay,
+        Xh = esn_detect_symbols(state.reservoir, scale, Wt_out, y_flat, delay,
                                 cp, N, sqrt_pi,
                                 fold_key(bkeys[0], _K_DETECT, tag))
         return Xh.reshape(B, D, N, n_tx)

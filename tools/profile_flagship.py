@@ -1,0 +1,112 @@
+"""Phase-ablation profiling of the flagship 4x8 CDL step on the TPU.
+
+Times full jitted pipeline variants (standalone kernel timing is meaningless
+through the axon tunnel — docs/ENVIRONMENT.md): synth-only, synth+ESN,
+synth+MMSE, full cal step, and the decode phase. Differences between variants
+attribute wall time to phases. Run: python tools/profile_flagship.py [batch]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+if (os.environ.get("PALLAS_AXON_POOL_IPS")
+        and os.environ.get("PALLAS_AXON_REMOTE_COMPILE") != "1"
+        and os.environ.get("_BENCH_REEXEC") != "1"):
+    env = dict(os.environ, PALLAS_AXON_REMOTE_COMPILE="1", _BENCH_REEXEC="1")
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_ROOT, ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    n_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    from esn_ofdm_mimo_tpu.experiments.presets import mimo_4x8_cdl
+    from esn_ofdm_mimo_tpu.pipelines.cdl import (
+        run_cdl_cal_blocks, run_cdl_decode_blocks)
+    from esn_ofdm_mimo_tpu.pipelines.common import (
+        synth_block, detect_data_symbols, data_bits_for_blocks)
+    from esn_ofdm_mimo_tpu.ldpc import make_regular_ldpc
+    from esn_ofdm_mimo_tpu.utils.rng import block_keys
+
+    cfg = mimo_4x8_cdl()
+    D = cfg.data_symbols_per_block
+    N, m = cfg.ofdm.n_subcarriers, cfg.ofdm.bits_per_symbol
+    code = make_regular_ldpc(N * m, cfg.ldpc.dv, cfg.ldpc.dc, cfg.ldpc.seed)
+
+    def reduce_tree(t):
+        leaves = [jnp.sum(jnp.abs(x).astype(jnp.float32)) if jnp.iscomplexobj(x)
+                  else jnp.sum(x.astype(jnp.float32))
+                  for x in jax.tree_util.tree_leaves(t)]
+        return sum(leaves)
+
+    @jax.jit
+    def v_synth(ebno_db, bkeys):
+        st = synth_block(cfg, ebno_db, bkeys)
+        return reduce_tree((st.H_mmse, st.Wt_out_m))
+
+    def make_detect(detectors):
+        @jax.jit
+        def f(ebno_db, bkeys):
+            st = synth_block(cfg, ebno_db, bkeys)
+            bits, _ = data_bits_for_blocks(cfg, bkeys, D, code)
+            data = detect_data_symbols(cfg, st, ebno_db, bkeys, bits, detectors)
+            return reduce_tree(data.X_hat)
+        return f
+
+    @jax.jit
+    def v_full(ebno_db, bkeys):
+        out = run_cdl_cal_blocks(cfg, ebno_db, bkeys)
+        return reduce_tree((out.bit_errors, out.llr))
+
+    calib = {n: (jnp.full((m,), -0.5, jnp.float32), jnp.zeros((m,), jnp.float32))
+             for n in ("esn", "mmse")}
+
+    @jax.jit
+    def v_decode(ebno_db, bkeys):
+        out = run_cdl_decode_blocks(cfg, ebno_db, bkeys, calib)
+        return reduce_tree((out.bit_errors, out.info_errors))
+
+    variants = [
+        ("synth_only", v_synth),
+        ("synth+esn", make_detect(("esn",))),
+        ("synth+mmse", make_detect(("mmse",))),
+        ("full_cal (bench)", v_full),
+        ("full_decode (BP)", v_decode),
+    ]
+
+    root = jax.random.PRNGKey(0)
+    ebno = jnp.float32(12.0)
+    print(f"batch={n_blocks} iters={iters} device={jax.devices()[0]}")
+    results = {}
+    for name, fn in variants:
+        keys = block_keys(root, 0, jnp.arange(n_blocks, dtype=jnp.uint32))
+        jax.device_get(fn(ebno, keys))  # compile + warm
+        t0 = time.perf_counter()
+        for i in range(iters):
+            k = block_keys(root, i + 1, jnp.arange(n_blocks, dtype=jnp.uint32))
+            jax.device_get(fn(ebno, k))
+        dt = (time.perf_counter() - t0) / iters
+        results[name] = dt
+        print(f"{name:22s} {dt*1e3:9.1f} ms  "
+              f"({n_blocks*(D+1)/dt:9.0f} sym/s)", flush=True)
+
+    syn = results["synth_only"]
+    print(f"\nattribution (ms): synth={syn*1e3:.1f} "
+          f"esn_detect={(results['synth+esn']-syn)*1e3:.1f} "
+          f"mmse_detect={(results['synth+mmse']-syn)*1e3:.1f} "
+          f"llr+rest={(results['full_cal (bench)']-results['synth+esn']-(results['synth+mmse']-syn))*1e3:.1f} "
+          f"bp_decode={(results['full_decode (BP)']-results['full_cal (bench)'])*1e3:.1f}")
+
+
+if __name__ == "__main__":
+    main()

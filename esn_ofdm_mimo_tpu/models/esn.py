@@ -25,10 +25,31 @@ pyESN so that every contraction is a row-major `x @ W`:
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# State-noise generator selection (BER-neutral by design — the pyESN state
+# noise is an i.i.d. uniform regularizer whose *distribution*, not stream,
+# is the contract; tests pin semantics with noise=0):
+#   rbg      — hardware RNG instructions (default: threefry hashing was
+#              ~13 ms of the 45 ms flagship ESN-detect phase, ~390M hash
+#              evaluations per call on the VPU; rbg is near-free)
+#   threefry — jax.random.uniform per step (the pre-round-1 keyed stream)
+#   zero     — disable (measurement only; changes semantics)
+_STATE_NOISE_IMPL = os.environ.get("ESN_TPU_STATE_NOISE", "rbg")
+
+
+def _noise_key(key):
+    """Convert a threefry key to the selected impl's key (stream-compatible
+    folding happens upstream; only the draw implementation changes)."""
+    if _STATE_NOISE_IMPL != "rbg":
+        return key
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    kd4 = jnp.concatenate([kd, kd])[:4]
+    return jax.random.wrap_key_data(kd4, impl="rbg")
 
 
 class EsnReservoir(NamedTuple):
@@ -109,8 +130,11 @@ def esn_states(res: EsnReservoir, scale: EsnScale, inputs: jnp.ndarray,
     drive = (u[:, 1:] @ res.W_in_t
              + teachers_scaled[:, :-1] @ res.W_fb_t)  # (B, T-1, n_res)
     # pre-generate the per-step state noise as one batched uniform draw
-    noise = res.noise * (jax.random.uniform(
-        noise_key, (T - 1, B, n_res), dtype=s0.dtype) - 0.5)
+    if _STATE_NOISE_IMPL == "zero":
+        noise = jnp.zeros((T - 1, B, n_res), dtype=s0.dtype)
+    else:
+        noise = res.noise * (jax.random.uniform(
+            _noise_key(noise_key), (T - 1, B, n_res), dtype=s0.dtype) - 0.5)
 
     def step(s, inp):
         c_n, z_n = inp
@@ -232,12 +256,16 @@ def esn_predict(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
     drive = u @ res.W_in_t                            # (B, T, n_res)
     o_in = jnp.einsum("gtf,gfo->gto",
                       u.reshape(G, Dg * T, n_in), Wt_u).reshape(B, T, n_out)
-    keys = jax.random.split(noise_key, T)
+    keys = jax.random.split(_noise_key(noise_key), T)
 
     def step(carry, inp):
         s, o_prev = carry
         c_n, oi_n, k = inp
-        z_n = res.noise * (jax.random.uniform(k, s.shape, dtype=s.dtype) - 0.5)
+        if _STATE_NOISE_IMPL == "zero":
+            z_n = 0.0
+        else:
+            z_n = res.noise * (jax.random.uniform(k, s.shape,
+                                                  dtype=s.dtype) - 0.5)
         s_next = jnp.tanh(s @ res.Wt + c_n + o_prev @ res.W_fb_t) + z_n
         o_next = read_states(s_next) + oi_n
         return (s_next, o_next), o_next

@@ -122,6 +122,12 @@ class LdpcConfig:
     (OFDM_SISO_NBF_LDPC.py:186-202, 477-499).
     """
     enabled: bool = True
+    # code family: "gallager" = random ensemble draw (pyldpc-style, the
+    # parity default); "qc" = quasi-cyclic girth-conditioned draw from the
+    # same (dv, dc)-regular ensemble — identical rate, same-or-better BER
+    # (girth >= 6 guaranteed), and BP decode routes via static cyclic
+    # shifts, unlocking the fused Pallas decoder (ldpc/decode_pallas.py)
+    family: str = "gallager"
     dv: int = 4
     dc: int = 8
     max_iter: int = 100

@@ -74,7 +74,11 @@ def mimo_4x8_cdl(fast: bool = False) -> SimConfig:
         channel=ChannelConfig(kind="cdl_b", n_tx=4, n_rx=8,
                               delay_spread_ns=300.0),
         esn=EsnConfig(n_reservoir=300, train_ebno_fixed_db=None),
-        ldpc=LdpcConfig(max_iter=100),
+        # qc: same (4,8)-regular ensemble/rate as the reference's pyldpc
+        # draw, girth-conditioned (>= 6), fused Pallas BP on TPU; BER
+        # validated against the Gallager draw + the reference baseline
+        # (tools/validate_baseline.py)
+        ldpc=LdpcConfig(max_iter=100, family="qc"),
         calib=CalibConfig(enabled=True, cal_fraction=0.3),
         ebno_db=_EBNO_FAST if fast else _EBNO_FULL,
         num_ofdm_symbols=200 if fast else 1000)

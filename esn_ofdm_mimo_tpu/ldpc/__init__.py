@@ -1,5 +1,7 @@
-"""Regular Gallager LDPC code: construction, encoder, batched BP decoder."""
+"""LDPC codes: regular Gallager + quasi-cyclic construction, encoder,
+batched BP decoder (XLA flooding / fused Pallas kernel for QC codes)."""
 
-from .code import LdpcCode, make_regular_ldpc  # noqa: F401
+from .code import (LdpcCode, make_regular_ldpc, make_qc_ldpc,  # noqa: F401
+                   make_code)
 from .encode import ldpc_encode  # noqa: F401
 from .decode import ldpc_decode_bp, llr_from_yobs  # noqa: F401

@@ -29,6 +29,22 @@ from typing import NamedTuple
 import numpy as np
 
 
+class QcInfo(NamedTuple):
+    """Quasi-cyclic structure of a QC code (see make_qc_ldpc).
+
+    The decode graph in NATURAL column order is the full Z*n_rows-check
+    lifted base graph (including the dv-1 redundant checks the row-trimmed
+    encoder view drops — harmless for BP, and they preserve the perfect
+    cyclic structure the TPU kernel routes with).
+    """
+    Z: int                    # lift (circulant) size; n == dc * Z
+    shifts: np.ndarray        # (dv, dc) int32 circulant shift table
+    perm: np.ndarray          # (n,) natural column of pipeline position p
+    inv_perm: np.ndarray      # (n,) pipeline position of natural column v
+    ck_cols_nat: np.ndarray   # (dv*Z, dc) int32 full graph, natural order
+    var_edge_nat: np.ndarray  # (n, dv) int32 full graph, natural order
+
+
 class LdpcCode(NamedTuple):
     """Host-side immutable code description (NumPy; move to device lazily)."""
     n: int                  # codeword length
@@ -41,6 +57,7 @@ class LdpcCode(NamedTuple):
     ck_cols: np.ndarray     # (m, dc) int32: columns participating in check i
     var_edge: np.ndarray    # (n, dv) int32: flat indices into (m*dc) edge
     #                         array of the edges incident to variable v
+    qc: QcInfo | None = None  # set for quasi-cyclic codes (make_qc_ldpc)
 
 
 def _gallager_H(n: int, dv: int, dc: int, rng: np.random.Generator) -> np.ndarray:
@@ -94,6 +111,54 @@ def _gf2_inv_apply(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return aug[:, m:]
 
 
+def _systematize(H_full: np.ndarray):
+    """Row-trim to full rank, column-permute pivots first, build encoder.
+
+    Returns (Hp, P, perm): Hp = H_trimmed[:, perm] = [A | B] with A
+    invertible; P = A^-1 B; perm[p] is the original column at pipeline
+    position p. Dropping linearly DEPENDENT rows leaves the row space (and
+    hence the codebook) unchanged.
+    """
+    n = H_full.shape[1]
+    keep, _ = _gf2_pivot_columns(H_full.T)
+    H = H_full[np.asarray(keep)]
+    m = H.shape[0]
+    pivots, rank = _gf2_pivot_columns(H)
+    assert rank == m, (rank, m)
+    pivots = np.asarray(pivots[:m])
+    rest = np.setdiff1d(np.arange(n), pivots)
+    perm = np.concatenate([pivots, rest])
+    Hp = np.ascontiguousarray(H[:, perm])
+    A, B = Hp[:, :m], Hp[:, m:]
+    P = _gf2_inv_apply(A, B).astype(np.int8)
+    return Hp.astype(np.int8), P, perm
+
+
+def _index_tensors(H: np.ndarray):
+    """Dense decoder gather maps for an arbitrary 0/1 parity matrix.
+
+    Rows may have unequal weight; each check's column list is padded to the
+    max weight with a sentinel column n (an always-erased +inf-LLR edge).
+    """
+    m, n = H.shape
+    row_weights = H.sum(axis=1)
+    dc_max = int(row_weights.max())
+    ck_cols = np.full((m, dc_max), n, dtype=np.int32)
+    for i in range(m):
+        cols = np.nonzero(H[i])[0]
+        ck_cols[i, :len(cols)] = cols
+    col_weights = H.sum(axis=0)
+    dv_max = int(col_weights.max())
+    var_edge = np.full((n, dv_max), m * dc_max, dtype=np.int32)
+    fill = np.zeros(n, dtype=np.int64)
+    for i in range(m):
+        for j, c in enumerate(ck_cols[i]):
+            if c < n:
+                var_edge[c, fill[c]] = i * dc_max + j
+                fill[c] += 1
+    return ck_cols, var_edge
+
+
 @functools.lru_cache(maxsize=None)
 def make_regular_ldpc(n: int, dv: int = 4, dc: int = 8,
                       seed: int = 0) -> LdpcCode:
@@ -108,40 +173,101 @@ def make_regular_ldpc(n: int, dv: int = 4, dc: int = 8,
         # we simply drop dependent rows to get a full-rank H
         if rank >= H.shape[0] - dv:
             break
-    # drop linearly dependent rows (pivot columns of H^T are independent rows;
-    # a Gallager matrix loses ~dv-1 ranks because every strip's rows sum to
-    # the all-ones vector — pyldpc's G.shape[1] grows by the same amount)
-    keep, _ = _gf2_pivot_columns(H.T)
-    H = H[np.asarray(keep)]
-    m = H.shape[0]
-    pivots, rank = _gf2_pivot_columns(H)
-    assert rank == m, (rank, m)
-    pivots = np.asarray(pivots[:m])
-    rest = np.setdiff1d(np.arange(n), pivots)
-    perm = np.concatenate([pivots, rest])
-    Hp = np.ascontiguousarray(H[:, perm])
-    A, B = Hp[:, :m], Hp[:, m:]
-    P = _gf2_inv_apply(A, B).astype(np.int8)
-    k = n - m
-
-    # decoder index tensors; rows of Hp may have unequal weight after the
-    # row-drop (still ~dc); pad each check's column list to the max weight
-    # with a sentinel column n (handled as an always-erased +inf-LLR edge)
-    row_weights = Hp.sum(axis=1)
-    dc_max = int(row_weights.max())
-    ck_cols = np.full((m, dc_max), n, dtype=np.int32)
-    for i in range(m):
-        cols = np.nonzero(Hp[i])[0]
-        ck_cols[i, :len(cols)] = cols
-    # var -> incident edge flat positions (into the (m, dc_max) edge array)
-    col_weights = Hp.sum(axis=0)
-    dv_max = int(col_weights.max())
-    var_edge = np.full((n, dv_max), m * dc_max, dtype=np.int32)
-    fill = np.zeros(n, dtype=np.int64)
-    for i in range(m):
-        for j, c in enumerate(ck_cols[i]):
-            if c < n:
-                var_edge[c, fill[c]] = i * dc_max + j
-                fill[c] += 1
-    return LdpcCode(n=n, k=k, m=m, dv=dv, dc=dc, H=Hp.astype(np.int8), P=P,
+    Hp, P, _ = _systematize(H)
+    m = Hp.shape[0]
+    ck_cols, var_edge = _index_tensors(Hp)
+    return LdpcCode(n=n, k=n - m, m=m, dv=dv, dc=dc, H=Hp, P=P,
                     ck_cols=ck_cols, var_edge=var_edge)
+
+
+def _qc_shift_table(dv: int, dc: int, Z: int, seed: int) -> np.ndarray:
+    """Pick a (dv, dc) circulant shift table: girth >= 6, few 6-cycles.
+
+    4-cycle-free (Fossorier): for every row pair (i1,i2) and column pair
+    (j1,j2), s[i1,j1]-s[i1,j2]+s[i2,j2]-s[i2,j1] != 0 (mod Z). Among
+    candidate tables satisfying that, minimize the count of 6-cycle
+    congruences — the short cycles that dominate the BP error floor.
+    """
+    rng = np.random.default_rng(seed + 7_777_777)
+    rows = [(i1, i2) for i1 in range(dv) for i2 in range(i1 + 1, dv)]
+
+    def four_cycle_free(s):
+        for i1, i2 in rows:
+            d = (s[i1] - s[i2]) % Z          # (dc,)
+            # a repeated difference across two columns => 4-cycle
+            if len(np.unique(d)) < dc:
+                return False
+        return True
+
+    def six_cycle_count(s):
+        cnt = 0
+        from itertools import combinations, permutations
+        for ri in combinations(range(dv), 3):
+            for cj in combinations(range(dc), 3):
+                # each cyclic arrangement of the 3 columns over the 3 rows
+                for p in permutations(cj):
+                    j1, j2, j3 = p
+                    i1, i2, i3 = ri
+                    tot = (s[i1, j1] - s[i1, j2] + s[i2, j2] - s[i2, j3]
+                           + s[i3, j3] - s[i3, j1]) % Z
+                    cnt += int(tot == 0)
+        return cnt
+
+    best, best_cnt = None, None
+    tried = 0
+    while tried < 400 or best is None:
+        s = rng.integers(0, Z, size=(dv, dc), dtype=np.int64)
+        tried += 1
+        if not four_cycle_free(s):
+            continue
+        c = six_cycle_count(s)
+        if best_cnt is None or c < best_cnt:
+            best, best_cnt = s, c
+            if c == 0:
+                break
+    return best.astype(np.int32)
+
+
+def make_code(ldpc_cfg, n: int) -> LdpcCode:
+    """Build the code an LdpcConfig describes (family dispatch, cached)."""
+    maker = {"gallager": make_regular_ldpc, "qc": make_qc_ldpc}[ldpc_cfg.family]
+    return maker(n, ldpc_cfg.dv, ldpc_cfg.dc, ldpc_cfg.seed)
+
+
+@functools.lru_cache(maxsize=None)
+def make_qc_ldpc(n: int, dv: int = 4, dc: int = 8, seed: int = 0) -> LdpcCode:
+    """Quasi-cyclic (dv, dc)-regular code: H is a dv x dc grid of Z x Z
+    shifted identity circulants, Z = n/dc.
+
+    Same ensemble profile as the Gallager draw (every variable degree dv,
+    every check degree dc, rate (n-m)/n), but the bipartite graph is
+    girth-conditioned (>= 6; random Gallager draws can carry 4-cycles) and —
+    the TPU point — BP message routing between the variable-major and
+    check-major edge layouts is a static cyclic shift per base cell, which
+    the Pallas decoder implements as sublane rolls on VMEM-resident
+    messages instead of HBM gathers (ldpc/decode_pallas.py).
+
+    Check (i, z') connects variable (j, z) iff z' == (z + shifts[i, j]) % Z.
+    """
+    assert n % dc == 0, (n, dc)
+    Z = n // dc
+    shifts = _qc_shift_table(dv, dc, Z, seed)
+
+    # full lifted H in natural order: rows grouped by base row, (dv*Z, n)
+    H_full = np.zeros((dv * Z, n), dtype=np.int8)
+    z = np.arange(Z)
+    for i in range(dv):
+        for j in range(dc):
+            H_full[i * Z + (z + shifts[i, j]) % Z, j * Z + z] = 1
+
+    Hp, P, perm = _systematize(H_full)
+    m = Hp.shape[0]
+    ck_cols, var_edge = _index_tensors(Hp)
+    ck_nat, var_nat = _index_tensors(H_full)
+    inv_perm = np.empty(n, dtype=np.int64)
+    inv_perm[perm] = np.arange(n)
+    qc = QcInfo(Z=Z, shifts=shifts, perm=perm.astype(np.int32),
+                inv_perm=inv_perm.astype(np.int32),
+                ck_cols_nat=ck_nat, var_edge_nat=var_nat)
+    return LdpcCode(n=n, k=n - m, m=m, dv=dv, dc=dc, H=Hp, P=P,
+                    ck_cols=ck_cols, var_edge=var_edge, qc=qc)

@@ -24,12 +24,20 @@ the (static, tiny) dc axis — exact, division-free, saturation-safe with the
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from .code import LdpcCode
 
 MSG_CLIP = 16.0  # |tanh(x/2)| stays < 1 in f32 up to ~x=16
+
+# QC codes (make_qc_ldpc) have a fused Pallas decoder (decode_pallas.py):
+#   auto   — Pallas on TPU backends, XLA elsewhere (default)
+#   xla    — always the XLA flooding decoder (on the same full QC graph)
+#   pallas — force the kernel (interpret-mode capable on CPU for tests)
+LDPC_TPU_IMPL = os.environ.get("LDPC_TPU_IMPL", "auto")
 
 
 def llr_from_yobs(y_obs: jnp.ndarray, snr_db: float = 1.0) -> jnp.ndarray:
@@ -58,17 +66,47 @@ def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100,
     (sign-product x scaled second-min magnitude) — cheaper per iteration,
     the classic hardware decoder; ~0.1-0.2 dB from sum-product at rate 1/2.
 
+    QC codes decode on their full lifted graph (the same graph on every
+    backend): through the fused Pallas kernel on TPU, or through this XLA
+    decoder with the natural-order index tensors elsewhere.
+
     Returns hard codeword bits (B, n) int8. With return_stats=True also
     returns {"iterations": (B,) int32 first zero-syndrome iteration (0 =
     already clean, max_iter = never converged), "converged": (B,) bool} —
     the early-termination telemetry the decode phase is profiled by
     (SURVEY.md §5 observability; reference has only a maxiter knob).
     """
+    if code.qc is not None:
+        impl = LDPC_TPU_IMPL
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        if impl == "pallas":
+            from .decode_pallas import ldpc_decode_bp_pallas
+            return ldpc_decode_bp_pallas(code, llr, max_iter, algo,
+                                         minsum_scale, return_stats)
+        # XLA path on the identical full QC graph, in natural column order
+        llr_nat = llr[:, jnp.asarray(code.qc.inv_perm)]
+        out = _decode_bp_graph(jnp.asarray(code.qc.ck_cols_nat),
+                               jnp.asarray(code.qc.var_edge_nat),
+                               llr_nat, max_iter, algo, minsum_scale,
+                               return_stats)
+        perm = jnp.asarray(code.qc.perm)
+        if return_stats:
+            bits, stats = out
+            return bits[:, perm], stats
+        return out[:, perm]
+    return _decode_bp_graph(jnp.asarray(code.ck_cols),
+                            jnp.asarray(code.var_edge), llr, max_iter,
+                            algo, minsum_scale, return_stats)
+
+
+def _decode_bp_graph(ck_cols: jnp.ndarray, var_edge: jnp.ndarray,
+                     llr: jnp.ndarray, max_iter: int, algo: str,
+                     minsum_scale: float, return_stats: bool):
+    """Flooding BP on an explicit (ck_cols, var_edge) gather-map graph."""
     B, n = llr.shape
-    m, dc = code.ck_cols.shape
-    dv = code.var_edge.shape[1]
-    ck_cols = jnp.asarray(code.ck_cols)        # (m, dc), sentinel == n
-    var_edge = jnp.asarray(code.var_edge)      # (n, dv), sentinel == m*dc
+    m, dc = ck_cols.shape
+    dv = var_edge.shape[1]
     valid = (ck_cols < n)                      # (m, dc)
     Lc = llr.astype(jnp.float32)
 

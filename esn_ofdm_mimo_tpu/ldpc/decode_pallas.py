@@ -1,0 +1,220 @@
+"""Fused Pallas TPU BP decoder for quasi-cyclic LDPC codes.
+
+The XLA flooding decoder (ldpc/decode.py) re-streams the (B, m, dc) message
+tensor and its gather/scatter temporaries through HBM on every iteration —
+~2 GB of traffic per iteration at flagship decode batches, and TPU gathers
+lower poorly besides. This kernel exploits the QC structure built by
+`make_qc_ldpc` (ldpc/code.py): the variable-major -> check-major edge
+relabeling is a *static cyclic shift per base cell*, so one BP iteration is
+pure VPU arithmetic plus dv*dc static sublane rolls, with the full message
+state resident in VMEM across ALL iterations:
+
+  layout    codewords on lanes (W=128 per grid program), lifted indices on
+            sublanes; messages r[(i, j)] live as a (dv, dc, Z, W) scratch
+  routing   check (i, z') sees variable (j, z) iff z' == (z + s[i,j]) % Z
+            -> roll((Z, W) block, s[i,j]) along sublanes, shift static
+  traffic   one read of the channel LLRs + one write of the hard bits per
+            codeword, independent of iteration count
+  early exit per grid program: each 128-codeword tile stops iterating when
+            all its lanes have a zero syndrome (the per-detector decode
+            batches separate well: near-converged MMSE tiles stop in a few
+            iterations while ESN tiles run long)
+
+Semantics match ldpc_decode_bp on the same graph: flooding schedule,
+sum-product (tanh rule) or normalized min-sum, per-codeword decision freeze
+at first zero syndrome, unconverged codewords keep the final posterior.
+Decoding runs on the FULL dv*Z-check lifted graph (including the dv-1
+redundant checks the row-trimmed encoder view drops — they preserve the
+cyclic structure and only help BP). Validated against the XLA decoder on
+the same graph in tests/test_ldpc_qc.py.
+
+Reference contract being accelerated: pyldpc BP maxiter loop
+(reference OFDM_SISO_NBF_LDPC.py:484, Demo_MIMO_4x8_Sionna_CDL_ESN_v2.py:496).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .code import LdpcCode
+
+W = 128             # codewords per grid program (lane width)
+MSG_CLIP = 16.0     # same clip as the XLA decoder
+_PAD_LLR = 40.0     # padding lanes decode to all-zeros at iteration 0
+
+
+def _roll(x: jnp.ndarray, s: int, Z: int) -> jnp.ndarray:
+    """out[z'] = x[(z' - s) % Z] along sublanes; s is a Python int."""
+    s = s % Z
+    if s == 0:
+        return x
+    return pltpu.roll(x, shift=s, axis=0)
+
+
+def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
+               minsum_scale: float):
+    """Build the kernel body with all structure baked in statically."""
+    shifts = [[int(shifts[i][j]) for j in range(dc)] for i in range(dv)]
+
+    def kernel(lc_ref, bits_ref, stats_ref, r_ref):
+        one = jnp.ones((Z, W), jnp.float32)
+
+        def lc(j):
+            return lc_ref[j * Z:(j + 1) * Z, :]
+
+        def r_sum(j):
+            t = r_ref[0, j]
+            for i in range(1, dv):
+                t = t + r_ref[i, j]
+            return t
+
+        def decide_and_check():
+            """Posterior decision per variable + per-lane syndrome-ok flag."""
+            d = [(lc(j) + r_sum(j) < 0.0).astype(jnp.float32)
+                 for j in range(dc)]
+            bad = jnp.zeros((1, W), jnp.float32)
+            for i in range(dv):
+                acc = _roll(d[0], shifts[i][0], Z)
+                for j in range(1, dc):
+                    acc = acc + _roll(d[j], shifts[i][j], Z)
+                par = acc - 2.0 * jnp.floor(acc * 0.5)   # mod 2
+                bad = jnp.maximum(bad, jnp.max(par, axis=0, keepdims=True))
+            return d, (bad < 0.5).astype(jnp.float32)    # ok: (1, W)
+
+        def freeze(d, ok, it_val):
+            """Write decisions for not-yet-frozen lanes; update stats."""
+            prev_done = stats_ref[1:2, :]
+            upd = 1.0 - prev_done                         # (1, W)
+            for j in range(dc):
+                blk = bits_ref[j * Z:(j + 1) * Z, :]
+                bits_ref[j * Z:(j + 1) * Z, :] = jnp.where(upd > 0.5, d[j], blk)
+            just = upd * ok
+            stats_ref[0:1, :] = jnp.where(just > 0.5, jnp.full((1, W), it_val,
+                                                               jnp.float32),
+                                          stats_ref[0:1, :])
+            stats_ref[1:2, :] = jnp.maximum(prev_done, ok)
+
+        # --- iteration 0: zero messages, channel-only decision -------------
+        r_ref[...] = jnp.zeros((dv, dc, Z, W), jnp.float32)
+        stats_ref[...] = jnp.zeros((8, W), jnp.float32)
+        stats_ref[0:1, :] = jnp.full((1, W), float(max_iter), jnp.float32)
+        d0, ok0 = decide_and_check()
+        freeze(d0, ok0, 0.0)
+
+        # --- BP iterations ---------------------------------------------------
+        def body(it, carry):
+            all_done = jnp.min(stats_ref[1:2, :]) > 0.5
+
+            @pl.when(jnp.logical_not(all_done))
+            def _iter():
+                # variable update (var-major, contiguous)
+                Ltot = [lc(j) + r_sum(j) for j in range(dc)]
+                # var->check messages, rolled into the check domain
+                tc = [[None] * dc for _ in range(dv)]
+                for i in range(dv):
+                    for j in range(dc):
+                        q = jnp.clip(Ltot[j] - r_ref[i, j],
+                                     -MSG_CLIP, MSG_CLIP)
+                        if algo == "minsum":
+                            tc[i][j] = _roll(q, shifts[i][j], Z)
+                        else:
+                            tc[i][j] = _roll(jnp.tanh(0.5 * q),
+                                             shifts[i][j], Z)
+                # check update: leave-one-out across the dc cells of row i
+                for i in range(dv):
+                    if algo == "minsum":
+                        # online (min, second-min, first-argmin) over j
+                        sgn = [jnp.where(tc[i][j] < 0, -one, one)
+                               for j in range(dc)]
+                        sprod = sgn[0]
+                        for j in range(1, dc):
+                            sprod = sprod * sgn[j]
+                        m1 = jnp.abs(tc[i][0])
+                        m2 = jnp.full((Z, W), jnp.inf, jnp.float32)
+                        arg1 = jnp.zeros((Z, W), jnp.float32)
+                        for j in range(1, dc):
+                            a = jnp.abs(tc[i][j])
+                            is_new = a < m1
+                            m2 = jnp.where(is_new, m1, jnp.minimum(m2, a))
+                            arg1 = jnp.where(is_new, float(j), arg1)
+                            m1 = jnp.minimum(m1, a)
+                        for j in range(dc):
+                            loo = jnp.where(arg1 == float(j), m2, m1)
+                            rc = (minsum_scale * sprod * sgn[j]
+                                  * jnp.minimum(loo, MSG_CLIP))
+                            r_ref[i, j] = _roll(rc, -shifts[i][j], Z)
+                    else:
+                        # leave-one-out product via forward/backward partials
+                        fwd = [one]
+                        for j in range(dc - 1):
+                            fwd.append(fwd[-1] * tc[i][j])
+                        bwd = one
+                        for j in range(dc - 1, -1, -1):
+                            prod = jnp.clip(fwd[j] * bwd,
+                                            -0.9999999, 0.9999999)
+                            rc = jnp.log1p(prod) - jnp.log1p(-prod)  # 2*atanh
+                            r_ref[i, j] = _roll(rc, -shifts[i][j], Z)
+                            bwd = bwd * tc[i][j]
+                d, ok = decide_and_check()
+                freeze(d, ok, jnp.float32(it) + 1.0)
+            return carry
+
+        jax.lax.fori_loop(0, max_iter, body, None)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+def _decode_padded(shape_key, lc_nat_T: jnp.ndarray, max_iter: int,
+                   algo: str, minsum_scale: float, qc_static):
+    Z, dv, dc, shifts = qc_static
+    n, Bp = lc_nat_T.shape
+    kernel = _bp_kernel(Z, dv, dc, shifts, max_iter, algo, minsum_scale)
+    bits_T, stats = pl.pallas_call(
+        kernel,
+        grid=(Bp // W,),
+        in_specs=[pl.BlockSpec((n, W), lambda w: (0, w),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((n, W), lambda w: (0, w),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((8, W), lambda w: (0, w),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((n, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((8, Bp), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((dv, dc, Z, W), jnp.float32)],
+    )(lc_nat_T)
+    return bits_T, stats
+
+
+def ldpc_decode_bp_pallas(code: LdpcCode, llr: jnp.ndarray,
+                          max_iter: int = 100, algo: str = "sumprod",
+                          minsum_scale: float = 0.75,
+                          return_stats: bool = False):
+    """Drop-in fast path for ldpc_decode_bp on QC codes (TPU backends).
+
+    llr (B, n) channel LLRs in pipeline bit order; returns hard bits (B, n)
+    int8 (+ the same stats dict as the XLA decoder when return_stats).
+    """
+    qc = code.qc
+    assert qc is not None, "pallas decoder requires a QC code (make_qc_ldpc)"
+    B, n = llr.shape
+    Bp = -(-B // W) * W
+    lc_nat = llr.astype(jnp.float32)[:, jnp.asarray(qc.inv_perm)]
+    lc_T = jnp.full((n, Bp), _PAD_LLR, jnp.float32)
+    lc_T = jax.lax.dynamic_update_slice(lc_T, lc_nat.T, (0, 0))
+    qc_static = (int(qc.Z), int(code.dv), int(code.dc),
+                 tuple(tuple(int(s) for s in row) for row in qc.shifts))
+    bits_T, stats = _decode_padded(None, lc_T, int(max_iter), algo,
+                                   float(minsum_scale), qc_static)
+    bits_nat = bits_T[:, :B].T                       # (B, n) natural order
+    bits = bits_nat[:, jnp.asarray(qc.perm)].astype(jnp.int8)
+    if return_stats:
+        it = stats[0, :B].astype(jnp.int32)
+        converged = stats[1, :B] > 0.5
+        return bits, {"iterations": it, "converged": converged}
+    return bits

@@ -14,7 +14,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..config import SimConfig
-from ..ldpc import make_regular_ldpc, ldpc_decode_bp, llr_from_yobs
+from ..ldpc import make_code, ldpc_decode_bp, llr_from_yobs
 from ..ops import symbols_to_bits_hard, qam_llrs_maxlog, est_sigma2_from_decision
 from ..ops.analytics import channel_svd_metrics
 from .common import synth_block, detect_data_symbols, data_bits_for_blocks
@@ -61,7 +61,7 @@ def run_nbf_blocks(cfg: SimConfig, ebno_db, bkeys,
     pi = var_x / N
     batch = bkeys.shape[0]
 
-    code = (make_regular_ldpc(N * m, cfg.ldpc.dv, cfg.ldpc.dc, cfg.ldpc.seed)
+    code = (make_code(cfg.ldpc, N * m)
             if cfg.ldpc.enabled else None)
 
     state = synth_block(cfg, ebno_db, bkeys, esn_over)

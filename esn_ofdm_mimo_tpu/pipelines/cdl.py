@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SimConfig
-from ..ldpc import make_regular_ldpc, ldpc_decode_bp, llr_from_yobs
+from ..ldpc import make_code, ldpc_decode_bp, llr_from_yobs
 from ..ops import symbols_to_bits_hard, qam_llrs_maxlog, est_sigma2_from_decision
 from .common import synth_block, detect_data_symbols, data_bits_for_blocks
 
@@ -64,7 +64,7 @@ def run_cdl_cal_blocks(cfg: SimConfig, ebno_db, bkeys) -> CdlCalData:
     N, m = cfg.ofdm.n_subcarriers, cfg.ofdm.bits_per_symbol
     n_tx = cfg.channel.n_tx
     D = cfg.data_symbols_per_block
-    code = make_regular_ldpc(N * m, cfg.ldpc.dv, cfg.ldpc.dc, cfg.ldpc.seed)
+    code = make_code(cfg.ldpc, N * m)
 
     state = synth_block(cfg, ebno_db, bkeys)
     code_bits, _ = data_bits_for_blocks(cfg, bkeys, D, code)
@@ -117,7 +117,7 @@ def run_cdl_decode_blocks(cfg: SimConfig, ebno_db, bkeys,
     N, m = cfg.ofdm.n_subcarriers, cfg.ofdm.bits_per_symbol
     n_tx = cfg.channel.n_tx
     D = cfg.data_symbols_per_block
-    code = make_regular_ldpc(N * m, cfg.ldpc.dv, cfg.ldpc.dc, cfg.ldpc.seed)
+    code = make_code(cfg.ldpc, N * m)
 
     state = synth_block(cfg, ebno_db, bkeys)
     code_bits, info_bits = data_bits_for_blocks(cfg, bkeys, D, code)

@@ -7,22 +7,30 @@ import sys
 import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CSV = os.path.join(ROOT, "results", "mimo_4x8_cdl_tpu_big", "results_ber.csv")
+# canonical flagship artifact (QC-LDPC family, 128 blocks/SNR) + the
+# earlier Gallager-family run kept for the family-equivalence record
+CSVS = [
+    os.path.join(ROOT, "results", "mimo_4x8_cdl_tpu_qc", "results_ber.csv"),
+    os.path.join(ROOT, "results", "mimo_4x8_cdl_tpu_big", "results_ber.csv"),
+]
 
 sys.path.insert(0, os.path.join(ROOT, "tools"))
 
 
-@pytest.mark.skipif(not os.path.exists(CSV), reason="flagship results absent")
-def test_flagship_results_within_baseline_envelope():
+@pytest.mark.parametrize("csv", CSVS, ids=["qc", "gallager"])
+def test_flagship_results_within_baseline_envelope(csv):
+    if not os.path.exists(csv):
+        pytest.skip("flagship results absent")
     from validate_baseline import validate
-    checks, failures = validate(CSV, verbose=False)
+    checks, failures = validate(csv, verbose=False)
     assert checks >= 30
-    # MMSE must be in spec except the known 12 dB cliff point; every ESN
-    # deviation must be an improvement (lower BER / earlier SNR)
+    # MMSE must be in spec except the known 12 dB waterfall-cliff point
+    # (sampling variance, PARITY.md); every ESN deviation must be an
+    # improvement (lower BER / earlier SNR)
     for name, snr, ber, shift in failures:
         if name.startswith("mmse"):
-            assert name == "mmse_coded" and snr == 3.0 or (
-                name == "mmse_coded" and snr == 12.0), (name, snr, shift)
+            assert name == "mmse_coded" and snr in (3.0, 12.0), (
+                name, snr, shift)
         else:
             # ESN failures: ours-better (negative dB shift or ratio < 1)
             assert shift is None or shift < 1.0, (name, snr, shift)

@@ -35,13 +35,13 @@ def main() -> None:
         run_cdl_cal_blocks, run_cdl_decode_blocks)
     from esn_ofdm_mimo_tpu.pipelines.common import (
         synth_block, detect_data_symbols, data_bits_for_blocks)
-    from esn_ofdm_mimo_tpu.ldpc import make_regular_ldpc
+    from esn_ofdm_mimo_tpu.ldpc import make_code
     from esn_ofdm_mimo_tpu.utils.rng import block_keys
 
     cfg = mimo_4x8_cdl()
     D = cfg.data_symbols_per_block
     N, m = cfg.ofdm.n_subcarriers, cfg.ofdm.bits_per_symbol
-    code = make_regular_ldpc(N * m, cfg.ldpc.dv, cfg.ldpc.dc, cfg.ldpc.seed)
+    code = make_code(cfg.ldpc, N * m)
 
     def reduce_tree(t):
         leaves = [jnp.sum(jnp.abs(x).astype(jnp.float32)) if jnp.iscomplexobj(x)

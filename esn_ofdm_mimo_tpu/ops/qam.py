@@ -60,9 +60,30 @@ def bits_to_symbols(bits: jnp.ndarray, bits_per_symbol: int) -> jnp.ndarray:
     return const[idx]
 
 
+def pam_axis_points(bits_per_symbol: int) -> jnp.ndarray:
+    """(P,) normalized PAM coordinates of the square-QAM grid (P = 2^(m/2)).
+
+    The column-major constellation is separable: const[i*P + j] =
+    pam[i] + 1j*pam[j], so per-axis distances decompose every nearest-point
+    computation (demap / sigma^2 / max-log LLR) into two P-point problems —
+    4x less distance work at 16-QAM and no (..., M, m) masked-min blowup.
+    """
+    m = bits_per_symbol
+    assert m % 2 == 0
+    P = 2 ** (m // 2)
+    return qam_constellation(m)[:P].imag
+
+
 def hard_demap_index(symbols: jnp.ndarray, bits_per_symbol: int) -> jnp.ndarray:
-    """Nearest-constellation-point index, vectorised argmin over M points."""
-    const = qam_constellation(bits_per_symbol)
+    """Nearest-constellation-point index, per-PAM-axis argmin."""
+    m = bits_per_symbol
+    if m % 2 == 0:
+        pam = pam_axis_points(m)
+        P = pam.shape[0]
+        i = jnp.argmin((symbols.real[..., None] - pam) ** 2, axis=-1)
+        j = jnp.argmin((symbols.imag[..., None] - pam) ** 2, axis=-1)
+        return i * P + j
+    const = qam_constellation(m)
     d2 = jnp.abs(symbols[..., None] - const) ** 2
     return jnp.argmin(d2, axis=-1)
 

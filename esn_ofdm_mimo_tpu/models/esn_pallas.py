@@ -37,7 +37,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .esn import EsnReservoir, EsnScale
+from .esn import EsnReservoir, EsnScale, _RECURRENCE_PRECISION
 
 BC = 128          # predict kernel: batch rows per grid program (lane width)
 _SUB = 8          # f32 sublane multiple
@@ -71,11 +71,14 @@ def _predict_kernel(u_ref, wt_ref, win_ref, wfb_ref, wofs_ref, wofu_ref,
     def step(t, so):
         s, o = so
         u_t = u_ref[t]                                      # (n_in_p, BC)
-        pre = (jnp.dot(wt_ref[:], s, preferred_element_type=jnp.float32)
+        pre = (jnp.dot(wt_ref[:], s, preferred_element_type=jnp.float32,
+                       precision=_RECURRENCE_PRECISION)
                + jnp.dot(win_ref[:], u_t,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
                + jnp.dot(wfb_ref[:], o,
-                         preferred_element_type=jnp.float32))
+                         preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST))
         s_new = jnp.tanh(pre)
         if with_prng:
             s_new = s_new + noise_ref[0, 0] * (
@@ -164,11 +167,14 @@ def _states_kernel(u_ref, d_ref, wt_ref, win_ref, wfb_ref, seed_ref,
     out_ref[0] = jnp.zeros_like(out_ref[0])
 
     def step(t, s):
-        pre = (jnp.dot(s, wt_ref[:], preferred_element_type=jnp.float32)
+        pre = (jnp.dot(s, wt_ref[:], preferred_element_type=jnp.float32,
+                       precision=_RECURRENCE_PRECISION)
                + jnp.dot(u_ref[t], win_ref[:],
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
                + jnp.dot(d_ref[t - 1], wfb_ref[:],
-                         preferred_element_type=jnp.float32))
+                         preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST))
         s_new = jnp.tanh(pre)
         if with_prng:
             s_new = s_new + noise_ref[0, 0] * (

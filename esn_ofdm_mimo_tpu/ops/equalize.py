@@ -69,3 +69,38 @@ def equalize_persc(Y: jnp.ndarray, H: jnp.ndarray, power_scale,
         return equalize_zf(Yk, H, jnp.asarray(power_scale)[..., None])
     return equalize_mmse(Yk, H, jnp.asarray(power_scale)[..., None],
                          jnp.asarray(noise_over_power)[..., None])
+
+
+def equalizer_weights(H: jnp.ndarray, reg) -> jnp.ndarray:
+    """Factor the regularized solve for a block-constant channel.
+
+    The channel is fixed for every data symbol of a coherence block
+    (OFDM_SISO_NBF_LDPC.py:450-460 re-solves it per symbol; here the Gram +
+    Cholesky is done ONCE per (block, subcarrier) and the per-symbol work
+    becomes a single small matmul — `apply_equalizer`).
+
+    H (..., n_rx, n_tx) complex, reg real scalar ->
+    We (..., 2*n_tx, 2*n_rx) real with We = (He^T He + reg I)^{-1} He^T.
+    """
+    n_tx = H.shape[-1]
+    He = _embed_H(H)
+    G = jnp.einsum("...ij,...ik->...jk", He, He)
+    G = G + jnp.asarray(reg)[..., None, None] * jnp.eye(2 * n_tx, dtype=G.dtype)
+    return chol_solve_small(G, jnp.swapaxes(He, -1, -2))
+
+
+def apply_equalizer(We: jnp.ndarray, Y: jnp.ndarray, power_scale) -> jnp.ndarray:
+    """Apply precomputed weights to D data symbols of the same block.
+
+    We (B, N, 2*n_tx, 2*n_rx) from `equalizer_weights`;
+    Y (B, D, n_rx, N) complex -> X_hat (B, D, N, n_tx) complex.
+    """
+    Yk = jnp.moveaxis(Y, -2, -1)                           # (B, D, N, n_rx)
+    ye = jnp.concatenate([jnp.real(Yk), jnp.imag(Yk)], axis=-1)
+    # broadcast multiply-reduce, NOT einsum: a dot_general here is 16k tiny
+    # (2nt, 2nr) matmuls (~1% MXU utilisation + two big transposes); the
+    # elementwise form fuses on the VPU at HBM roofline
+    xe = jnp.sum(We[:, None] * ye[..., None, :], axis=-1)  # (B, D, N, 2n_tx)
+    n_tx = We.shape[-2] // 2
+    x = xe[..., :n_tx] + 1j * xe[..., n_tx:]
+    return x / jnp.asarray(power_scale)[..., None]

@@ -34,8 +34,9 @@ from ..ops import (
     bits_to_symbols, ofdm_modulate, ofdm_demodulate,
     draw_exp_pdp_taps, draw_cdlb_taps, draw_flat_awgn_tap,
     apply_fir_channel, taps_to_freq_response,
-    estimate_channel, equalize_persc,
+    estimate_channel,
 )
+from ..ops.equalize import equalizer_weights, apply_equalizer
 from ..ops.pa import rapp_pa, clip_amplitude
 from ..utils.rng import fold_key
 
@@ -251,13 +252,17 @@ def detect_data_symbols(cfg: SimConfig, state: BlockState, ebno_db, bkeys,
         X_hat["esn"] = _esn(state.scale_m, state.Wt_out_m, 0)
     if "esn_fixed" in detectors and state.Wt_out_f is not None:
         X_hat["esn_fixed"] = _esn(state.scale_f, state.Wt_out_f, 1)
+    # the channel is block-constant: factor each equalizer once per
+    # (block, subcarrier) and apply it to all D symbols as one matmul
     if "zf_perfect" in detectors:
-        X_hat["zf_perfect"] = equalize_persc(Y, state.H_true[:, None], sqrt_pi)
+        We = equalizer_weights(state.H_true, jnp.float32(1e-12))
+        X_hat["zf_perfect"] = apply_equalizer(We, Y, sqrt_pi)
     if "zf_ls" in detectors:
-        X_hat["zf_ls"] = equalize_persc(Y, state.H_ls[:, None], sqrt_pi)
+        We = equalizer_weights(state.H_ls, jnp.float32(1e-12))
+        X_hat["zf_ls"] = apply_equalizer(We, Y, sqrt_pi)
     if "mmse" in detectors:
-        X_hat["mmse"] = equalize_persc(Y, state.H_mmse[:, None], sqrt_pi,
-                                       noise_over_power=No / pi)
+        We = equalizer_weights(state.H_mmse, No / pi)
+        X_hat["mmse"] = apply_equalizer(We, Y, sqrt_pi)
 
     X_true = jnp.moveaxis(X, -2, -1)                     # (B, D, N, n_tx)
     return DataSymbols(X_true=X_true, Y=Y, X_hat=X_hat)

@@ -165,3 +165,24 @@ def test_capacity_closed_form_identity_channel():
                                rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(met.rank), n)
     np.testing.assert_allclose(np.asarray(met.cond), 1.0, rtol=1e-4)
+
+
+def test_factored_equalizer_matches_persc():
+    """equalizer_weights + apply_equalizer == equalize_persc broadcast over D
+    (the factored path is the hot one in pipelines/common.detect_data_symbols)."""
+    from esn_ofdm_mimo_tpu.ops.equalize import (
+        equalize_persc, equalizer_weights, apply_equalizer)
+    rng = np.random.default_rng(10)
+    B, D, n_rx, n_tx, N = 3, 5, 8, 4, 16
+    H = (rng.standard_normal((B, N, n_rx, n_tx))
+         + 1j * rng.standard_normal((B, N, n_rx, n_tx))).astype(np.complex64)
+    Y = (rng.standard_normal((B, D, n_rx, N))
+         + 1j * rng.standard_normal((B, D, n_rx, N))).astype(np.complex64)
+    sqrt_pi = 1.7
+    for reg in (1e-12, 0.23):
+        ref = np.asarray(equalize_persc(
+            jnp.asarray(Y), jnp.asarray(H)[:, None], sqrt_pi,
+            noise_over_power=None if reg == 1e-12 else reg))
+        We = equalizer_weights(jnp.asarray(H), jnp.float32(reg))
+        fast = np.asarray(apply_equalizer(We, jnp.asarray(Y), sqrt_pi))
+        np.testing.assert_allclose(fast, ref, rtol=2e-4, atol=2e-5)

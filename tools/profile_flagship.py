@@ -54,13 +54,33 @@ def main() -> None:
         st = synth_block(cfg, ebno_db, bkeys)
         return reduce_tree((st.H_mmse, st.Wt_out_m))
 
+    # synth sub-phases (channel draw / chanest / ESN fit attribution)
+    from esn_ofdm_mimo_tpu.pipelines import common as _c
+
+    @jax.jit
+    def v_taps(ebno_db, bkeys):
+        taps = _c._draw_taps(cfg, _c._vfold(bkeys, _c._K_CHAN))
+        from esn_ofdm_mimo_tpu.ops import taps_to_freq_response
+        return reduce_tree(taps_to_freq_response(taps, N))
+
+    @jax.jit
+    def v_synth_nofit(ebno_db, bkeys):
+        # synth_block with the ESN fit's readout solve skipped: re-run the
+        # pilot/chanest part by calling synth_block on a cfg clone whose
+        # reservoir is tiny (fit cost ~0)
+        import dataclasses
+        cfg_small = dataclasses.replace(
+            cfg, esn=dataclasses.replace(cfg.esn, n_reservoir=8))
+        st = synth_block(cfg_small, ebno_db, bkeys)
+        return reduce_tree((st.H_mmse, st.Wt_out_m))
+
     def make_detect(detectors):
         @jax.jit
         def f(ebno_db, bkeys):
             st = synth_block(cfg, ebno_db, bkeys)
             bits, _ = data_bits_for_blocks(cfg, bkeys, D, code)
             data = detect_data_symbols(cfg, st, ebno_db, bkeys, bits, detectors)
-            return reduce_tree(data.X_hat)
+            return reduce_tree((data.X_hat, data.Y))
         return f
 
     @jax.jit
@@ -77,7 +97,10 @@ def main() -> None:
         return reduce_tree((out.bit_errors, out.info_errors))
 
     variants = [
+        ("taps_only", v_taps),
+        ("synth_tiny_esn", v_synth_nofit),
         ("synth_only", v_synth),
+        ("synth+datapath", make_detect(())),
         ("synth+esn", make_detect(("esn",))),
         ("synth+mmse", make_detect(("mmse",))),
         ("full_cal (bench)", v_full),
@@ -101,10 +124,14 @@ def main() -> None:
               f"({n_blocks*(D+1)/dt:9.0f} sym/s)", flush=True)
 
     syn = results["synth_only"]
-    print(f"\nattribution (ms): synth={syn*1e3:.1f} "
-          f"esn_detect={(results['synth+esn']-syn)*1e3:.1f} "
-          f"mmse_detect={(results['synth+mmse']-syn)*1e3:.1f} "
-          f"llr+rest={(results['full_cal (bench)']-results['synth+esn']-(results['synth+mmse']-syn))*1e3:.1f} "
+    dp = results["synth+datapath"]
+    print(f"\nattribution (ms): taps={results['taps_only']*1e3:.1f} "
+          f"chanest+pilot={(results['synth_tiny_esn']-results['taps_only'])*1e3:.1f} "
+          f"esn_fit={(syn-results['synth_tiny_esn'])*1e3:.1f} "
+          f"datapath={(dp-syn)*1e3:.1f} "
+          f"esn_detect={(results['synth+esn']-dp)*1e3:.1f} "
+          f"mmse_detect={(results['synth+mmse']-dp)*1e3:.1f} "
+          f"llr+counts={(results['full_cal (bench)']-results['synth+esn']-(results['synth+mmse']-dp))*1e3:.1f} "
           f"bp_decode={(results['full_decode (BP)']-results['full_cal (bench)'])*1e3:.1f}")
 
 

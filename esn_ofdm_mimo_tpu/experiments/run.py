@@ -31,6 +31,10 @@ def main(argv=None) -> None:
                     help="coherence blocks per device per round; large "
                          "batches are the TPU throughput plateau (bench.py "
                          "sweep) and BER is layout-invariant by key design")
+    ap.add_argument("--rounds-per-call", type=int, default=4,
+                    help="Monte-Carlo rounds lax.scan'd inside one dispatch "
+                         "(amortises the ~35 ms/dispatch relay latency, "
+                         "docs/ENVIRONMENT.md)")
     ap.add_argument("--outdir", default=None)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--resume", action="store_true",
@@ -53,13 +57,15 @@ def main(argv=None) -> None:
         results = run_cdl_curve(cfg, blocks,
                                 blocks_per_device=args.blocks_per_device,
                                 mesh=mesh, seed=args.seed, checkpoint=ckpt,
-                                progress=progress)
+                                progress=progress,
+                                rounds_per_call=args.rounds_per_call)
         save_cdl_results(outdir, cfg, results)
     else:
         res = run_nbf_curve(cfg, blocks,
                             blocks_per_device=args.blocks_per_device,
                             mesh=mesh, seed=args.seed, checkpoint=ckpt,
-                            progress=progress)
+                            progress=progress,
+                            rounds_per_call=args.rounds_per_call)
         save_nbf_results(outdir, cfg, res)
     log.log("run_done", seconds=round(time.time() - t0, 1), outdir=outdir)
 

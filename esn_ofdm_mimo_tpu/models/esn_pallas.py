@@ -39,7 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .esn import EsnReservoir, EsnScale, _RECURRENCE_PRECISION
 
-BC = 128          # predict kernel: batch rows per grid program (lane width)
+import os
+
+_LANE = 128       # TPU lane width (feature-dim padding granularity)
+# predict kernel: batch rows per grid program. Wider chunks amortise the
+# per-step fixed costs (loop control, readout setup) over more lanes at the
+# same sequential depth; must be a multiple of _LANE.
+BC = int(os.environ.get("ESN_TPU_PREDICT_BC", "128"))
 _SUB = 8          # f32 sublane multiple
 _VMEM_BUDGET = 12 * 1024 * 1024
 
@@ -106,7 +112,7 @@ def esn_predict_pallas(res: EsnReservoir, scale: EsnScale,
     B, T, n_in = inputs.shape
     n_res = res.Wt.shape[0]
     n_out = Wt_out.shape[-1]
-    n_p = _pad_to(n_res, BC)
+    n_p = _pad_to(n_res, _LANE)
     n_in_p = _pad_to(n_in, _SUB)
     B_p = _pad_to(B, BC)
     n_out_p = _pad_to(n_out, _SUB)
@@ -192,9 +198,9 @@ def esn_states_pallas(res: EsnReservoir, scale: EsnScale, inputs: jnp.ndarray,
     B, T, n_in = inputs.shape
     n_res = res.Wt.shape[0]
     n_out = teachers_scaled.shape[-1]
-    n_p = _pad_to(n_res, BC)
-    n_in_p = _pad_to(n_in, BC)     # lane axis of u
-    n_out_p = _pad_to(n_out, BC)   # lane axis of d
+    n_p = _pad_to(n_res, _LANE)
+    n_in_p = _pad_to(n_in, _LANE)  # lane axis of u
+    n_out_p = _pad_to(n_out, _LANE)  # lane axis of d
     B_p = _pad_to(B, _SUB)
 
     u = inputs * scale.input_scaling + scale.input_shift
@@ -236,7 +242,7 @@ def esn_states_pallas(res: EsnReservoir, scale: EsnScale, inputs: jnp.ndarray,
 
 def predict_viable(B: int, T: int, n_res: int, n_in: int, n_out: int,
                    vmem_budget: int = _VMEM_BUDGET) -> bool:
-    n_p = _pad_to(n_res, BC)
+    n_p = _pad_to(n_res, _LANE)
     n_in_p = _pad_to(n_in, _SUB)
     n_out_p = _pad_to(n_out, _SUB)
     bytes_needed = 4 * (T * n_in_p * BC
@@ -250,9 +256,9 @@ def predict_viable(B: int, T: int, n_res: int, n_in: int, n_out: int,
 
 def states_viable(B: int, T: int, n_res: int, n_in: int, n_out: int,
                   vmem_budget: int = _VMEM_BUDGET) -> bool:
-    n_p = _pad_to(n_res, BC)
+    n_p = _pad_to(n_res, _LANE)
     B_p = _pad_to(B, _SUB)
-    bytes_needed = 4 * (T * B_p * (_pad_to(n_in, BC) + _pad_to(n_out, BC))
+    bytes_needed = 4 * (T * B_p * (_pad_to(n_in, _LANE) + _pad_to(n_out, _LANE))
                         + 3 * n_p * n_p
                         + T * B_p * n_p
                         + 4 * B_p * n_p)

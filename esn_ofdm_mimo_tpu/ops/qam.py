@@ -172,8 +172,11 @@ def symbols_to_bits_hard(symbols: jnp.ndarray, bits_per_symbol: int) -> jnp.ndar
     (OFDM_SISO_NBF_LDPC.py:103-111) with a batched argmin + table lookup.
     """
     m = bits_per_symbol
-    labels = qam_bit_labels(m)
     idx = hard_demap_index(symbols, m)
-    bits = labels[idx]  # (..., n_sym, m)
+    # labels are natural binary LSB-first, so label k of index i is simply
+    # (i >> k) & 1 — bit arithmetic instead of a labels[idx] gather (gathers
+    # over millions of positions are slow on TPU; this is elementwise)
+    shifts = jnp.arange(m, dtype=idx.dtype)
+    bits = ((idx[..., None] >> shifts) & 1).astype(jnp.int8)
     *lead, n_sym, _ = bits.shape
     return bits.reshape(*lead, n_sym * m)

@@ -75,6 +75,32 @@ def make_sharded_nbf_step(cfg: SimConfig, mesh) -> Callable:
     return jax.jit(sharded)
 
 
+def make_sharded_nbf_scan_step(cfg: SimConfig, mesh) -> Callable:
+    """Multi-round step: (ebno, keys (R, G)) -> counters summed over R rounds.
+
+    Each dispatch through the axon relay costs ~35 ms of host<->device
+    latency regardless of program size (docs/ENVIRONMENT.md); scanning R
+    rounds inside the jitted program amortises it. Memory stays at
+    one-round footprint (lax.scan reuses the round's buffers)."""
+
+    def local_step(ebno_db, bkeys2d):
+        def body(acc, bkeys):
+            counts = run_nbf_blocks(cfg, ebno_db, bkeys)
+            return (counts if acc is None
+                    else jax.tree.map(lambda x, y: x + y, acc, counts)), None
+
+        first = run_nbf_blocks(cfg, ebno_db, bkeys2d[0])
+        acc, _ = jax.lax.scan(
+            lambda a, k: body(a, k), first, bkeys2d[1:])
+        return jax.tree.map(lambda x: jax.lax.psum(x, TRIALS_AXIS), acc)
+
+    sharded = jax.shard_map(local_step, mesh=mesh,
+                            in_specs=(P(), P(None, TRIALS_AXIS)),
+                            out_specs=P(),
+                            check_vma=False)
+    return jax.jit(sharded)
+
+
 def _call_with_retry(step, args, retries: int = 2,
                      progress: Optional[Callable[[str], None]] = None):
     """Retry a sharded round on transient failures (flaky interconnect /
@@ -95,11 +121,15 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
                   blocks_per_device: int = 4,
                   mesh=None, seed: Optional[int] = None,
                   progress: Optional[Callable[[str], None]] = print,
-                  checkpoint=None, step_factory=None) -> CurveResult:
+                  checkpoint=None, step_factory=None,
+                  rounds_per_call: int = 4) -> CurveResult:
     """Run the full SNR sweep of a block-fading experiment.
 
-    blocks_per_snr is rounded up to a whole number of rounds
-    (n_devices * blocks_per_device blocks each).
+    blocks_per_snr is rounded up to a whole number of dispatches
+    (n_devices * blocks_per_device * rounds_per_call blocks each);
+    `rounds_per_call` rounds are scanned inside one dispatch to amortise
+    the per-dispatch relay latency. A custom `step_factory` (fault-injection
+    tests) keeps the legacy one-round-per-dispatch signature.
     """
     mesh = mesh if mesh is not None else trials_mesh()
     n_dev = mesh.devices.size
@@ -107,8 +137,13 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
     rounds = max(1, -(-blocks_per_snr // G))
     seed = cfg.seed if seed is None else seed
     root = jax.random.PRNGKey(seed)
-    factory = step_factory or make_sharded_nbf_step
-    step = factory(cfg, mesh)
+    if step_factory is not None:
+        R = 1
+        step = step_factory(cfg, mesh)
+    else:
+        R = max(1, min(rounds_per_call, rounds))
+        rounds = -(-rounds // R)                  # dispatches of R rounds
+        step = make_sharded_nbf_scan_step(cfg, mesh)
 
     ebnos = np.asarray(cfg.ebno_db, dtype=np.float32)
     acc_per_snr = []
@@ -118,8 +153,10 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
             continue
         acc = None
         for r in range(rounds):
-            ids = jnp.arange(r * G, (r + 1) * G, dtype=jnp.uint32)
+            ids = jnp.arange(r * R * G, (r + 1) * R * G, dtype=jnp.uint32)
             keys = block_keys(root, jj, ids)
+            if step_factory is None:
+                keys = keys.reshape(R, G, *keys.shape[1:])
             counts = _call_with_retry(step, (jnp.float32(ebno), keys),
                                       progress=progress)
             counts = jax.device_get(
@@ -165,12 +202,19 @@ def make_sharded_cdl_steps(cfg: SimConfig, mesh):
         cal_local, mesh=mesh, in_specs=(P(), P(TRIALS_AXIS)),
         out_specs=cal_out_specs, check_vma=False))
 
-    def dec_local(ebno_db, bkeys, calib):
-        out = run_cdl_decode_blocks(cfg, ebno_db, bkeys, calib)
-        return jax.tree.map(lambda x: jax.lax.psum(x, TRIALS_AXIS), out)
+    def dec_local(ebno_db, bkeys2d, calib):
+        # keys (R, G_local): R decode rounds scanned per dispatch (the axon
+        # relay's ~35 ms/dispatch latency amortises over R)
+        def body(acc, bkeys):
+            out = run_cdl_decode_blocks(cfg, ebno_db, bkeys, calib)
+            return jax.tree.map(lambda x, y: x + y, acc, out), None
+
+        first = run_cdl_decode_blocks(cfg, ebno_db, bkeys2d[0], calib)
+        acc, _ = jax.lax.scan(body, first, bkeys2d[1:])
+        return jax.tree.map(lambda x: jax.lax.psum(x, TRIALS_AXIS), acc)
 
     dec = jax.jit(jax.shard_map(
-        dec_local, mesh=mesh, in_specs=(P(), P(TRIALS_AXIS), P()),
+        dec_local, mesh=mesh, in_specs=(P(), P(None, TRIALS_AXIS), P()),
         out_specs=P(), check_vma=False))
     return cal, dec
 
@@ -179,7 +223,7 @@ def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
                   blocks_per_device: int = 2, mesh=None,
                   seed: Optional[int] = None,
                   progress: Optional[Callable[[str], None]] = print,
-                  checkpoint=None):
+                  checkpoint=None, rounds_per_call: int = 4):
     """SNR sweep of the calibrated CDL pipeline.
 
     Returns (CurveResult-like dict, calibration params per SNR)."""
@@ -189,6 +233,9 @@ def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
     rounds = max(1, -(-blocks_per_snr // G))
     cal_rounds = max(1, round(rounds * cfg.calib.cal_fraction))
     dec_rounds = max(1, rounds - cal_rounds)
+    # decode rounds are scanned R-per-dispatch (dispatch count rounds up)
+    R = max(1, min(rounds_per_call, dec_rounds))
+    dec_dispatches = -(-dec_rounds // R)
     seed = cfg.seed if seed is None else seed
     root = jax.random.PRNGKey(seed)
     cal_step, dec_step = make_sharded_cdl_steps(cfg, mesh)
@@ -226,10 +273,12 @@ def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
         calib = {d: (jnp.asarray(a), jnp.asarray(b)) for d, (a, b) in calib.items()}
 
         coded = None
-        for r in range(dec_rounds):
-            ids = jnp.arange(bid, bid + G, dtype=jnp.uint32)
-            bid += G
-            out = dec_step(jnp.float32(ebno), block_keys(root, jj, ids), calib)
+        for r in range(dec_dispatches):
+            ids = jnp.arange(bid, bid + R * G, dtype=jnp.uint32)
+            bid += R * G
+            keys = block_keys(root, jj, ids)
+            keys = keys.reshape(R, G, *keys.shape[1:])
+            out = dec_step(jnp.float32(ebno), keys, calib)
             cnt = jax.device_get(out)
             if coded is None:
                 coded = cnt

@@ -79,6 +79,30 @@ def run_cdl_cal_blocks(cfg: SimConfig, ebno_db, bkeys) -> CdlCalData:
                       llr=llr, bits=bits)
 
 
+def run_cdl_cal_counters_chunks(cfg: SimConfig, ebno_db,
+                                bkeys2d) -> Tuple[dict, jnp.ndarray]:
+    """Uncoded counters over R x B blocks in ONE dispatch.
+
+    bkeys2d: (R, B) per-block keys; lax.scan over the R chunk axis reuses one
+    traced chunk program and accumulates counters on-device. The axon relay
+    costs ~35 ms per dispatch+sync (docs/ENVIRONMENT.md) — scanning R rounds
+    per call amortises that fixed latency, which at B=128 would otherwise be
+    ~35% of wall time. The calibration LLR tensors are not computed here
+    (XLA DCEs them) — this is the detection-throughput path bench.py times.
+    """
+    zero = {name: jnp.zeros((), jnp.int32) for name in CDL_DETECTORS}
+
+    def body(acc, bkeys):
+        out = run_cdl_cal_blocks(cfg, ebno_db, bkeys)
+        errs, tot = acc
+        errs = {k: errs[k] + out.bit_errors[k] for k in errs}
+        return (errs, tot + out.total_bits), None
+
+    (errs, tot), _ = jax.lax.scan(
+        body, (zero, jnp.zeros((), jnp.int32)), bkeys2d)
+    return errs, tot
+
+
 def fit_logreg_1d(x: jnp.ndarray, y: jnp.ndarray, steps: int = 400,
                   lr: float = 0.1, l2: float = 1e-3) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-bit 1-D logistic regression by full-batch GD (reference :108-119).

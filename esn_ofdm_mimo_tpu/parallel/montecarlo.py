@@ -262,15 +262,18 @@ def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
                                for k in cnt["bit_errors"]},
                 "total_bits": uncoded["total_bits"] + cnt["total_bits"]}
             m = cfg.ofdm.bits_per_symbol
+            # keep the calibration tensors ON DEVICE: gathering them to host
+            # and re-uploading for the fit cost ~2x155 MB of tunnel traffic
+            # per SNR at flagship batches
             for d in llr_acc:
-                llr_acc[d].append(
-                    np.asarray(jax.device_get(out.llr[d])).reshape(-1, m))
-            bits_acc.append(
-                np.asarray(jax.device_get(out.bits)).reshape(-1, m))
-        llr_cat = {d: jnp.asarray(np.concatenate(llr_acc[d])) for d in llr_acc}
-        bits_cat = jnp.asarray(np.concatenate(bits_acc))
-        calib = jax.device_get(fit(llr_cat, bits_cat))
-        calib = {d: (jnp.asarray(a), jnp.asarray(b)) for d, (a, b) in calib.items()}
+                llr_acc[d].append(out.llr[d].reshape(-1, m))
+            bits_acc.append(out.bits.reshape(-1, m))
+        llr_cat = {d: jnp.concatenate(llr_acc[d]) for d in llr_acc}
+        bits_cat = jnp.concatenate(bits_acc)
+        calib = fit(llr_cat, bits_cat)
+        calib = {d: (jnp.asarray(np.asarray(jax.device_get(a))),
+                     jnp.asarray(np.asarray(jax.device_get(b))))
+                 for d, (a, b) in calib.items()}
 
         coded = None
         for r in range(dec_dispatches):

@@ -61,3 +61,42 @@ def test_curve_runs_and_is_monotone():
         assert res.ber[det][1] < res.ber[det][0], det  # BER falls with SNR
     assert np.all(res.capacity_per_sc > 0)
     assert res.total_bits[0] > 0 and res.total_info_bits[0] > 0
+
+
+def test_scan_step_matches_round_sum():
+    """R rounds scanned in one dispatch == the sum of R single-round calls
+    (the relay-latency-amortising path, make_sharded_nbf_scan_step)."""
+    from esn_ofdm_mimo_tpu.parallel.montecarlo import make_sharded_nbf_scan_step
+    cfg = tiny_cfg()
+    mesh = trials_mesh(8)
+    keys = block_keys(jax.random.PRNGKey(3), 0,
+                      jnp.arange(24, dtype=jnp.uint32))
+    single = make_sharded_nbf_step(cfg, mesh)
+    parts = [single(jnp.float32(12.0), keys[i * 8:(i + 1) * 8])
+             for i in range(3)]
+    scan = make_sharded_nbf_scan_step(cfg, mesh)(
+        jnp.float32(12.0), keys.reshape(3, 8, *keys.shape[1:]))
+    for det in parts[0].bit_errors:
+        want = sum(int(p.bit_errors[det]) for p in parts)
+        assert int(scan.bit_errors[det]) == want, det
+    assert int(scan.total_bits) == sum(int(p.total_bits) for p in parts)
+
+
+def test_cdl_counters_chunks_matches_blocks():
+    """run_cdl_cal_counters_chunks == summed run_cdl_cal_blocks counters."""
+    from esn_ofdm_mimo_tpu.pipelines.cdl import (
+        run_cdl_cal_blocks, run_cdl_cal_counters_chunks)
+    import dataclasses
+    cfg = dataclasses.replace(
+        tiny_cfg(), channel=ChannelConfig(kind="cdl_b", n_tx=1, n_rx=2))
+    keys = block_keys(jax.random.PRNGKey(4), 0,
+                      jnp.arange(4, dtype=jnp.uint32))
+    outs = [run_cdl_cal_blocks(cfg, jnp.float32(9.0), keys[i * 2:(i + 1) * 2])
+            for i in range(2)]
+    errs, tot = jax.jit(
+        lambda e, k: run_cdl_cal_counters_chunks(cfg, e, k))(
+        jnp.float32(9.0), keys.reshape(2, 2, *keys.shape[1:]))
+    for det in errs:
+        want = sum(int(o.bit_errors[det]) for o in outs)
+        assert int(errs[det]) == want, det
+    assert int(tot) == sum(int(o.total_bits) for o in outs)

@@ -28,8 +28,8 @@ from jax.sharding import PartitionSpec as P
 from ..config import SimConfig
 from ..pipelines.blockfading import run_nbf_blocks, NbfCounts
 from ..pipelines.cdl import (
-    CdlCalData, CdlCounts, fit_calibrators, run_cdl_cal_blocks,
-    run_cdl_decode_blocks)
+    CDL_DETECTORS, CdlCalData, CdlCounts, fit_calibrators,
+    run_cdl_cal_blocks, run_cdl_decode_blocks)
 from ..utils.rng import block_keys
 from .mesh import TRIALS_AXIS, trials_mesh
 
@@ -101,6 +101,53 @@ def make_sharded_nbf_scan_step(cfg: SimConfig, mesh) -> Callable:
     return jax.jit(sharded)
 
 
+def make_fused_nbf_grid(cfg: SimConfig, mesh, blocks_per_device: int,
+                        rounds: int) -> Callable:
+    """ONE dispatch for the WHOLE SNR grid: scan over (snr, rounds) on
+    device with per-SNR psum'd counters stacked in the output.
+
+    Per-block keys are folded on-device from (root, snr index, global block
+    id) — the identical stream to block_keys() on the host — so the fused
+    grid is bit-compatible with the per-SNR dispatch path (asserted in
+    tests/test_montecarlo.py). Used by run_nbf_curve when no checkpointing
+    is requested; the relay's heavy-tailed multi-second dispatch+sync
+    latency then hits once per experiment instead of once per SNR."""
+    n_dev = mesh.devices.size
+    G = n_dev * blocks_per_device
+    ebnos = jnp.asarray(cfg.ebno_db, dtype=jnp.float32)
+    n_snr = ebnos.shape[0]
+
+    def local(root):
+        dev = jax.lax.axis_index(TRIALS_AXIS)
+
+        def snr_body(_, jx):
+            jj, ebno = jx
+            k_snr = jax.random.fold_in(root, jj)
+
+            def one_round(r):
+                ids = (r * G + dev * blocks_per_device
+                       + jnp.arange(blocks_per_device, dtype=jnp.uint32))
+                bkeys = jax.vmap(
+                    lambda b: jax.random.fold_in(k_snr, b))(ids)
+                return run_nbf_blocks(cfg, ebno, bkeys)
+
+            acc = one_round(jnp.uint32(0))
+            def round_body(a, r):
+                return jax.tree.map(lambda x, y: x + y, a, one_round(r)), None
+            acc, _ = jax.lax.scan(
+                round_body, acc, jnp.arange(1, rounds, dtype=jnp.uint32))
+            return None, jax.tree.map(
+                lambda x: jax.lax.psum(x, TRIALS_AXIS), acc)
+
+        _, per_snr = jax.lax.scan(
+            snr_body, None, (jnp.arange(n_snr, dtype=jnp.uint32), ebnos))
+        return per_snr           # counters pytree with leading (n_snr,) axis
+
+    sharded = jax.shard_map(local, mesh=mesh, in_specs=(P(),),
+                            out_specs=P(), check_vma=False)
+    return jax.jit(sharded)
+
+
 def _call_with_retry(step, args, retries: int = 2,
                      progress: Optional[Callable[[str], None]] = None):
     """Retry a sharded round on transient failures (flaky interconnect /
@@ -146,6 +193,34 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
         step = make_sharded_nbf_scan_step(cfg, mesh)
 
     ebnos = np.asarray(cfg.ebno_db, dtype=np.float32)
+
+    def _to_host(counts):
+        return jax.device_get(
+            jax.tree.map(lambda x: np.asarray(x, dtype=np.int64)
+                         if np.issubdtype(np.asarray(x).dtype, np.integer)
+                         else np.asarray(x, dtype=np.float64), counts))
+
+    # whole-grid fusion: one dispatch per experiment (int32 counter guard)
+    total_rounds = rounds if step_factory is not None else rounds * R
+    bits_per_snr = (total_rounds * G * cfg.data_symbols_per_block
+                    * cfg.channel.n_tx * cfg.ofdm.n_subcarriers
+                    * cfg.ofdm.bits_per_symbol)
+    if (checkpoint is None and step_factory is None
+            and bits_per_snr < 1.9e9):
+        grid = make_fused_nbf_grid(cfg, mesh, blocks_per_device, total_rounds)
+        stacked = _to_host(_call_with_retry(grid, (root,), progress=progress))
+        acc_per_snr = [jax.tree.map(lambda x: x[jj], stacked)
+                       for jj in range(len(ebnos))]
+        if progress is not None:
+            for jj, ebno in enumerate(ebnos):
+                acc = acc_per_snr[jj]
+                ber = {k: v / max(acc.total_bits, 1)
+                       for k, v in acc.bit_errors.items()}
+                progress(f"[mc] EbNo={ebno:g} dB done: "
+                         + " ".join(f"{k}={v:.4g}"
+                                    for k, v in sorted(ber.items())))
+        return assemble_curve(cfg, ebnos, acc_per_snr)
+
     acc_per_snr = []
     for jj, ebno in enumerate(ebnos):
         if checkpoint is not None and checkpoint.has(jj):
@@ -159,10 +234,7 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
                 keys = keys.reshape(R, G, *keys.shape[1:])
             counts = _call_with_retry(step, (jnp.float32(ebno), keys),
                                       progress=progress)
-            counts = jax.device_get(
-                jax.tree.map(lambda x: np.asarray(x, dtype=np.int64)
-                             if np.issubdtype(np.asarray(x).dtype, np.integer)
-                             else np.asarray(x, dtype=np.float64), counts))
+            counts = _to_host(counts)
             acc = counts if acc is None else _tree_add(acc, counts)
         acc_per_snr.append(acc)
         if checkpoint is not None:
@@ -219,6 +291,43 @@ def make_sharded_cdl_steps(cfg: SimConfig, mesh):
     return cal, dec
 
 
+def make_fused_cdl_snr_step(cfg: SimConfig, mesh, cal_rounds: int,
+                            dec_rounds: int):
+    """ONE dispatch per SNR point: cal rounds + calibrator fit + decode
+    rounds, all inside a single jitted program.
+
+    The axon relay adds heavy-tailed seconds-scale latency per
+    dispatch+sync (docs/ENVIRONMENT.md); the previous per-SNR sequence of
+    cal dispatch -> llr gather -> fit dispatch -> calib gather -> decode
+    dispatch cost ~14 s/SNR of which <0.5 s was device compute. Counters
+    accumulate in int32 on device — callers must keep per-SNR totals under
+    ~2e9 bits (run_cdl_curve guards this).
+    """
+    cal_sm, dec_sm = make_sharded_cdl_steps(cfg, mesh)
+    m = cfg.ofdm.bits_per_symbol
+    fit = functools.partial(fit_calibrators, cfg)
+
+    @jax.jit
+    def snr_step(ebno, cal_keys, dec_keys):
+        # cal_keys (Rc, G, ...), dec_keys (Rd, G, ...)
+        def cal_body(acc, keys):
+            out = cal_sm(ebno, keys)
+            errs, tot = acc
+            errs = {k: errs[k] + out.bit_errors[k] for k in errs}
+            llr = {d: out.llr[d].reshape(-1, m) for d in out.llr}
+            return (errs, tot + out.total_bits), (llr, out.bits.reshape(-1, m))
+
+        zero = ({d: jnp.zeros((), jnp.int32) for d in CDL_DETECTORS},
+                jnp.zeros((), jnp.int32))
+        (errs, tot), (llrs, bits) = jax.lax.scan(cal_body, zero, cal_keys)
+        calib = fit({d: llrs[d].reshape(-1, m) for d in llrs},
+                    bits.reshape(-1, m))
+        dec = dec_sm(ebno, dec_keys, calib)
+        return errs, tot, dec, calib
+
+    return snr_step
+
+
 def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
                   blocks_per_device: int = 2, mesh=None,
                   seed: Optional[int] = None,
@@ -233,13 +342,21 @@ def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
     rounds = max(1, -(-blocks_per_snr // G))
     cal_rounds = max(1, round(rounds * cfg.calib.cal_fraction))
     dec_rounds = max(1, rounds - cal_rounds)
-    # decode rounds are scanned R-per-dispatch (dispatch count rounds up)
-    R = max(1, min(rounds_per_call, dec_rounds))
-    dec_dispatches = -(-dec_rounds // R)
     seed = cfg.seed if seed is None else seed
     root = jax.random.PRNGKey(seed)
-    cal_step, dec_step = make_sharded_cdl_steps(cfg, mesh)
-    fit = jax.jit(functools.partial(fit_calibrators, cfg))
+
+    # int32 on-device counters: keep the fused dispatch's decode total under
+    # ~1.9e9 bits; any excess decode rounds run as extra scanned dispatches
+    bpb = (cfg.data_symbols_per_block * cfg.channel.n_tx
+           * cfg.ofdm.n_subcarriers * cfg.ofdm.bits_per_symbol)
+    max_rd = max(1, int(1.9e9 // (G * bpb)))
+    rd_fused = min(dec_rounds, max_rd)
+    rd_extra = dec_rounds - rd_fused
+    snr_step = make_fused_cdl_snr_step(cfg, mesh, cal_rounds, rd_fused)
+    dec_step = None
+    if rd_extra:
+        _, dec_step = make_sharded_cdl_steps(cfg, mesh)
+        R = max(1, min(rounds_per_call, rd_extra))
 
     ebnos = np.asarray(cfg.ebno_db, dtype=np.float32)
     results = []
@@ -247,52 +364,35 @@ def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
         if checkpoint is not None and checkpoint.has(jj):
             results.append(checkpoint.load(jj))
             continue
-        uncoded = None
-        llr_acc = {d: [] for d in ("esn", "mmse")}
-        bits_acc = []
-        bid = 0
-        for r in range(cal_rounds):
-            ids = jnp.arange(bid, bid + G, dtype=jnp.uint32)
-            bid += G
-            out = cal_step(jnp.float32(ebno), block_keys(root, jj, ids))
-            cnt = {"bit_errors": jax.device_get(out.bit_errors),
-                   "total_bits": int(out.total_bits)}
-            uncoded = cnt if uncoded is None else {
-                "bit_errors": {k: uncoded["bit_errors"][k] + cnt["bit_errors"][k]
-                               for k in cnt["bit_errors"]},
-                "total_bits": uncoded["total_bits"] + cnt["total_bits"]}
-            m = cfg.ofdm.bits_per_symbol
-            # keep the calibration tensors ON DEVICE: gathering them to host
-            # and re-uploading for the fit cost ~2x155 MB of tunnel traffic
-            # per SNR at flagship batches
-            for d in llr_acc:
-                llr_acc[d].append(out.llr[d].reshape(-1, m))
-            bits_acc.append(out.bits.reshape(-1, m))
-        llr_cat = {d: jnp.concatenate(llr_acc[d]) for d in llr_acc}
-        bits_cat = jnp.concatenate(bits_acc)
-        calib = fit(llr_cat, bits_cat)
-        calib = {d: (jnp.asarray(np.asarray(jax.device_get(a))),
-                     jnp.asarray(np.asarray(jax.device_get(b))))
-                 for d, (a, b) in calib.items()}
+        ckeys = block_keys(root, jj,
+                           jnp.arange(cal_rounds * G, dtype=jnp.uint32))
+        ckeys = ckeys.reshape(cal_rounds, G, *ckeys.shape[1:])
+        bid = cal_rounds * G
+        dkeys = block_keys(root, jj, jnp.arange(
+            bid, bid + rd_fused * G, dtype=jnp.uint32))
+        dkeys = dkeys.reshape(rd_fused, G, *dkeys.shape[1:])
+        bid += rd_fused * G
+        errs_d, tot_d, dec_d, calib_d = _call_with_retry(
+            snr_step, (jnp.float32(ebno), ckeys, dkeys), progress=progress)
+        uncoded = {"bit_errors": jax.device_get(errs_d),
+                   "total_bits": int(tot_d)}
+        coded = jax.tree.map(lambda x: np.asarray(x, np.int64),
+                             jax.device_get(dec_d))
+        calib = jax.device_get(calib_d)
 
-        coded = None
-        for r in range(dec_dispatches):
-            ids = jnp.arange(bid, bid + R * G, dtype=jnp.uint32)
-            bid += R * G
+        for r in range(-(-rd_extra // R) if rd_extra else 0):
+            n_r = min(R, rd_extra - r * R)
+            ids = jnp.arange(bid, bid + n_r * G, dtype=jnp.uint32)
+            bid += n_r * G
             keys = block_keys(root, jj, ids)
-            keys = keys.reshape(R, G, *keys.shape[1:])
-            out = dec_step(jnp.float32(ebno), keys, calib)
-            cnt = jax.device_get(out)
-            if coded is None:
-                coded = cnt
-            else:
-                coded = CdlCounts(
-                    bit_errors={k: coded.bit_errors[k] + cnt.bit_errors[k]
-                                for k in cnt.bit_errors},
-                    total_bits=coded.total_bits + cnt.total_bits,
-                    info_errors={k: coded.info_errors[k] + cnt.info_errors[k]
-                                 for k in cnt.info_errors},
-                    total_info_bits=coded.total_info_bits + cnt.total_info_bits)
+            keys = keys.reshape(n_r, G, *keys.shape[1:])
+            calib_dev = {d: (jnp.asarray(a), jnp.asarray(b))
+                         for d, (a, b) in calib.items()}
+            cnt = jax.tree.map(lambda x: np.asarray(x, np.int64),
+                               jax.device_get(
+                                   dec_step(jnp.float32(ebno), keys,
+                                            calib_dev)))
+            coded = _tree_add(coded, cnt)
 
         tot_unc = uncoded["total_bits"] + int(coded.total_bits)
         snr_res = {

@@ -100,3 +100,20 @@ def test_cdl_counters_chunks_matches_blocks():
         want = sum(int(o.bit_errors[det]) for o in outs)
         assert int(errs[det]) == want, det
     assert int(tot) == sum(int(o.total_bits) for o in outs)
+
+
+def test_fused_grid_matches_per_snr_dispatch():
+    """Whole-grid fused dispatch (on-device key folding) must be
+    bit-identical to the host-keyed per-SNR dispatch path."""
+    cfg = tiny_cfg()
+    mesh = trials_mesh(8)
+    fused = run_nbf_curve(cfg, blocks_per_snr=16, blocks_per_device=2,
+                          mesh=mesh, progress=None)
+    legacy = run_nbf_curve(cfg, blocks_per_snr=16, blocks_per_device=2,
+                           mesh=mesh, progress=None,
+                           step_factory=make_sharded_nbf_step)
+    for det in fused.ber:
+        np.testing.assert_array_equal(fused.ber[det], legacy.ber[det]), det
+    np.testing.assert_array_equal(fused.total_bits, legacy.total_bits)
+    np.testing.assert_allclose(fused.capacity_per_sc, legacy.capacity_per_sc,
+                               rtol=1e-6)

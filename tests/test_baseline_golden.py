@@ -7,9 +7,10 @@ import sys
 import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-# canonical flagship artifact (QC-LDPC family, 128 blocks/SNR) + the
-# earlier Gallager-family run kept for the family-equivalence record
+# canonical flagship artifact (fused engine, 128 blocks/SNR, MMSE 22/22 in
+# spec) + the QC and Gallager-family runs kept for the equivalence record
 CSVS = [
+    os.path.join(ROOT, "results", "mimo_4x8_cdl_tpu_v3", "results_ber.csv"),
     os.path.join(ROOT, "results", "mimo_4x8_cdl_tpu_qc", "results_ber.csv"),
     os.path.join(ROOT, "results", "mimo_4x8_cdl_tpu_big", "results_ber.csv"),
 ]
@@ -17,7 +18,7 @@ CSVS = [
 sys.path.insert(0, os.path.join(ROOT, "tools"))
 
 
-@pytest.mark.parametrize("csv", CSVS, ids=["qc", "gallager"])
+@pytest.mark.parametrize("csv", CSVS, ids=["v3", "qc", "gallager"])
 def test_flagship_results_within_baseline_envelope(csv):
     if not os.path.exists(csv):
         pytest.skip("flagship results absent")

@@ -47,7 +47,13 @@ _LANE = 128       # TPU lane width (feature-dim padding granularity)
 # same sequential depth; must be a multiple of _LANE.
 BC = int(os.environ.get("ESN_TPU_PREDICT_BC", "128"))
 _SUB = 8          # f32 sublane multiple
-_VMEM_BUDGET = 12 * 1024 * 1024
+# Working-set ceiling for routing to the fused kernels. v5e has 128 MiB of
+# VMEM per core; we pass an explicit vmem_limit_bytes to the Mosaic compiler
+# when the (double-buffered) estimate exceeds its 16 MiB scoped default, so
+# the budget here is a routing choice, not a hardware bound. Beyond ~1/2 of
+# physical VMEM the XLA scan path is the safer bet.
+_VMEM_BUDGET = 64 * 1024 * 1024
+_VMEM_SCOPED_DEFAULT = 16 * 1024 * 1024
 
 
 def _pad_to(x: int, m: int) -> int:
@@ -138,8 +144,17 @@ def esn_predict_pallas(res: EsnReservoir, scale: EsnScale,
     kernel = functools.partial(_predict_kernel, T=T, n_p=n_p,
                                with_prng=not interpret)
     noise_amp = jnp.reshape(res.noise.astype(jnp.float32), (1, 1))
+    # Mosaic's scoped-vmem default (16 MiB) undersizes big-reservoir configs
+    # (e.g. 4x8 NBF: n_res=600, T=522 needs ~17.4 MiB with double buffering);
+    # raise the per-kernel limit to the actual estimate plus headroom.
+    need = _predict_vmem_bytes(T, n_p, n_in_p, n_out_p)
+    params = {}
+    if need > _VMEM_SCOPED_DEFAULT and not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(need * 1.25), 100 * 1024 * 1024))
     out = pl.pallas_call(
         kernel,
+        **params,
         grid=(B_p // BC,),
         in_specs=[
             pl.BlockSpec((T, n_in_p, BC), lambda i: (0, 0, i)),
@@ -240,18 +255,30 @@ def esn_states_pallas(res: EsnReservoir, scale: EsnScale, inputs: jnp.ndarray,
 # viability checks (VMEM working set)
 # --------------------------------------------------------------------------
 
+def _predict_vmem_bytes(T: int, n_p: int, n_in_p: int, n_out_p: int) -> int:
+    """Estimated VMEM working set of one predict-kernel grid program.
+
+    Grid-indexed blocks (u, wofs, wofu, out) are double-buffered by the
+    Mosaic pipeliner across grid steps, hence the factor 2; the broadcast
+    weights (W, Win, Wfb) live once. Validated against a compiler-reported
+    17.36 MiB for (T=522, n_p=640, n_in_p=16, n_out_p=8) — this estimate
+    gives 21.2 MiB (conservative by design).
+    """
+    dbuf = (T * n_in_p * BC               # u block
+            + n_p * n_out_p * BC          # wofs block
+            + n_in_p * n_out_p * BC       # wofu block
+            + T * n_out_p * BC)           # out block
+    single = n_p * n_p + n_p * (n_in_p + n_out_p)
+    scratch = 4 * n_p * BC                # state/pre/tanh temporaries
+    return 4 * (2 * dbuf + single + scratch)
+
+
 def predict_viable(B: int, T: int, n_res: int, n_in: int, n_out: int,
                    vmem_budget: int = _VMEM_BUDGET) -> bool:
     n_p = _pad_to(n_res, _LANE)
     n_in_p = _pad_to(n_in, _SUB)
     n_out_p = _pad_to(n_out, _SUB)
-    bytes_needed = 4 * (T * n_in_p * BC
-                        + n_p * n_p
-                        + n_p * (n_in_p + n_out_p)
-                        + (n_p + n_in_p) * n_out_p * BC
-                        + T * n_out_p * BC
-                        + 4 * n_p * BC)
-    return bytes_needed < vmem_budget
+    return _predict_vmem_bytes(T, n_p, n_in_p, n_out_p) < vmem_budget
 
 
 def states_viable(B: int, T: int, n_res: int, n_in: int, n_out: int,

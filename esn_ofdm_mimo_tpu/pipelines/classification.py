@@ -25,6 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SimConfig
+from ..ldpc.code import make_qc_ldpc
+from ..ldpc.encode import ldpc_encode
 from ..models import classifiers as clf
 from ..models.zoo import train_classifier_cached as train_classifier
 from ..ops.qam import (bits_to_index_msb, hard_demap_index,
@@ -70,9 +72,12 @@ def make_equalized_dataset_sm1(ebno_db, key, batch: int = 64,
     estimate -> unbiased LMMSE -> flatten (re, im) with MSB-first index
     labels.
 
-    The reference's LDPC5GEncoder output is modelled as i.i.d. uniform bits
-    (codeword bits of a linear code on uniform info bits are uniform; the
-    classifiers never see the decoder), documented deviation.
+    The reference instantiates an LDPC5GDecoder but never calls it
+    (esn_ofdm_mimo_via_cdl.py:69 vs :241 — encoder-only path), so only the
+    *law* of the coded bits matters to the classifiers. We encode real
+    rate-1/2 codewords with the framework's QC-LDPC encoder on uniform
+    info bits — the same law as any linear code's codeword bits (uniform
+    marginals), matching the reference's n = D*m, k = n*coderate shape.
     """
     rg = rg or sm1_grid.ResourceGrid(num_streams=4)
     cdl_cfg = cdl_cfg or sm1_cdl.CdlConfig()
@@ -81,8 +86,10 @@ def make_equalized_dataset_sm1(ebno_db, key, batch: int = 64,
 
     no = sm1_grid.ebnodb2no(ebno_db, m, coderate, rg)
     S, D = rg.num_streams, rg.num_data_symbols
-    c = jax.random.randint(k_bits, (batch, S, D * m), 0, 2,
+    code = make_qc_ldpc(D * m, dv=4, dc=8, seed=0)   # rate ~ coderate (1/2)
+    u = jax.random.randint(k_bits, (batch, S, code.k), 0, 2,
                            dtype=jnp.int32)
+    c = ldpc_encode(code, u).astype(jnp.int32)
     const = qam_constellation_gray(m)
     labels = bits_to_index_msb(c, m)                      # (B, S, D)
     x_data = const[labels]

@@ -37,12 +37,20 @@ def main(argv=None) -> None:
                          "docs/ENVIRONMENT.md)")
     ap.add_argument("--outdir", default=None)
     ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--ldpc-algo", choices=("sumprod", "minsum"), default=None,
+                    help="override the BP check rule (default: preset's; "
+                         "sumprod = pyldpc parity, minsum = normalised "
+                         "min-sum, ~3x cheaper decode)")
     ap.add_argument("--resume", action="store_true",
                     help="resume from per-SNR checkpoints in outdir")
     args = ap.parse_args(argv)
 
     maybe_init_distributed()
     cfg = get_preset(args.preset, fast=args.fast)
+    if args.ldpc_algo is not None:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, ldpc=dataclasses.replace(cfg.ldpc, algo=args.ldpc_algo))
     outdir = args.outdir or f"results/{cfg.name}"
     blocks = args.blocks_per_snr or cfg.n_blocks
     mesh = trials_mesh()

@@ -39,6 +39,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .esn import EsnReservoir, EsnScale, _RECURRENCE_PRECISION
 
+# In XLA, a DEFAULT-precision f32 matmul lowers to one bf16 MXU pass — the
+# validated-BER-neutral recurrence mode (models/esn.py). Mosaic does NOT make
+# that substitution: an f32 jnp.dot inside a Pallas kernel runs at the f32
+# MXU rate (~4x slower). Mirror XLA's semantics by explicitly casting the
+# recurrence operands to bf16 (f32 accumulate) when DEFAULT is selected —
+# compiled TPU kernels only: interpret mode (CPU tests) stays f32 to match
+# the CPU XLA-scan reference, whose DEFAULT is true f32.
+_RECURRENCE_BF16 = _RECURRENCE_PRECISION == jax.lax.Precision.DEFAULT
+
+
+def _rec_dot(a, b, bf16: bool):
+    """Recurrence contraction at the configured precision (see above)."""
+    if bf16:
+        # precision must be explicit: the package-global default ("high")
+        # is not a Mosaic-lowerable dot precision
+        return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=_RECURRENCE_PRECISION)
+
 import os
 
 _LANE = 128       # TPU lane width (feature-dim padding granularity)
@@ -76,15 +97,15 @@ def _seed_arg(noise_key):
 # --------------------------------------------------------------------------
 
 def _predict_kernel(u_ref, wt_ref, win_ref, wfb_ref, wofs_ref, wofu_ref,
-                    seed_ref, noise_ref, out_ref, *, T, n_p, with_prng):
+                    seed_ref, noise_ref, out_ref, *, T, n_p, n_rs, with_prng,
+                    rec_bf16):
     if with_prng:
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
 
     def step(t, so):
         s, o = so
         u_t = u_ref[t]                                      # (n_in_p, BC)
-        pre = (jnp.dot(wt_ref[:], s, preferred_element_type=jnp.float32,
-                       precision=_RECURRENCE_PRECISION)
+        pre = (_rec_dot(wt_ref[:], s, rec_bf16)
                + jnp.dot(win_ref[:], u_t,
                          preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
@@ -96,7 +117,10 @@ def _predict_kernel(u_ref, wt_ref, win_ref, wfb_ref, wofs_ref, wofu_ref,
             s_new = s_new + noise_ref[0, 0] * (
                 _uniform_from_bits(s_new.shape) - 0.5)
         # per-row readout: o[k, b] = sum_f wofs[f, k, b] * s[f, b] + ...
-        o_new = (jnp.sum(wofs_ref[:] * s_new[:, None, :], axis=0)
+        # Only the first n_rs (= n_res padded to sublanes) state rows carry
+        # signal — wofs is shipped pre-sliced, so the VPU multiply-reduce
+        # skips the zero lane-padding rows (n_p - n_rs of them).
+        o_new = (jnp.sum(wofs_ref[:] * s_new[:n_rs][:, None, :], axis=0)
                  + jnp.sum(wofu_ref[:] * u_t[:, None, :], axis=0))
         out_ref[t] = o_new
         return s_new, o_new
@@ -119,6 +143,7 @@ def esn_predict_pallas(res: EsnReservoir, scale: EsnScale,
     n_res = res.Wt.shape[0]
     n_out = Wt_out.shape[-1]
     n_p = _pad_to(n_res, _LANE)
+    n_rs = _pad_to(n_res, _SUB)   # readout rows (sublane-padded, < n_p)
     n_in_p = _pad_to(n_in, _SUB)
     B_p = _pad_to(B, BC)
     n_out_p = _pad_to(n_out, _SUB)
@@ -126,13 +151,17 @@ def esn_predict_pallas(res: EsnReservoir, scale: EsnScale,
     u = inputs * scale.input_scaling + scale.input_shift       # (B, T, n_in)
     u_fm = jnp.zeros((T, n_in_p, B_p), dtype=jnp.float32)
     u_fm = u_fm.at[:, :n_in, :B].set(jnp.transpose(u, (1, 2, 0)))
-    W = jnp.zeros((n_p, n_p), dtype=jnp.float32)
-    W = W.at[:n_res, :n_res].set(res.Wt.T)                     # s' = W @ s
+    # reservoir weights are loop-invariant: ship them already in the
+    # recurrence dtype so the kernel doesn't re-cast (n_p, n_p) every step
+    w_dtype = (jnp.bfloat16 if _RECURRENCE_BF16 and not interpret
+               else jnp.float32)
+    W = jnp.zeros((n_p, n_p), dtype=w_dtype)
+    W = W.at[:n_res, :n_res].set(res.Wt.T.astype(w_dtype))     # s' = W @ s
     Win = jnp.zeros((n_p, n_in_p), dtype=jnp.float32)
     Win = Win.at[:n_res, :n_in].set(res.W_in_t.T)
     Wfb = jnp.zeros((n_p, n_out_p), dtype=jnp.float32)
     Wfb = Wfb.at[:n_res, :n_out].set(res.W_fb_t.T)
-    wofs = jnp.zeros((n_p, n_out_p, B_p), dtype=jnp.float32)
+    wofs = jnp.zeros((n_rs, n_out_p, B_p), dtype=jnp.float32)
     wofs = wofs.at[:n_res, :n_out, :B].set(
         jnp.transpose(Wt_out[:, :n_res, :], (1, 2, 0)))
     wofu = jnp.zeros((n_in_p, n_out_p, B_p), dtype=jnp.float32)
@@ -141,8 +170,9 @@ def esn_predict_pallas(res: EsnReservoir, scale: EsnScale,
 
     # interpret mode (CPU tests) lacks the TPU PRNG primitive; the reference
     # parity tests run with noise amplitude 0 anyway
-    kernel = functools.partial(_predict_kernel, T=T, n_p=n_p,
-                               with_prng=not interpret)
+    kernel = functools.partial(_predict_kernel, T=T, n_p=n_p, n_rs=n_rs,
+                               with_prng=not interpret,
+                               rec_bf16=_RECURRENCE_BF16 and not interpret)
     noise_amp = jnp.reshape(res.noise.astype(jnp.float32), (1, 1))
     # Mosaic's scoped-vmem default (16 MiB) undersizes big-reservoir configs
     # (e.g. 4x8 NBF: n_res=600, T=522 needs ~17.4 MiB with double buffering);
@@ -161,7 +191,7 @@ def esn_predict_pallas(res: EsnReservoir, scale: EsnScale,
             pl.BlockSpec((n_p, n_p), lambda i: (0, 0)),
             pl.BlockSpec((n_p, n_in_p), lambda i: (0, 0)),
             pl.BlockSpec((n_p, n_out_p), lambda i: (0, 0)),
-            pl.BlockSpec((n_p, n_out_p, BC), lambda i: (0, 0, i)),
+            pl.BlockSpec((n_rs, n_out_p, BC), lambda i: (0, 0, i)),
             pl.BlockSpec((n_in_p, n_out_p, BC), lambda i: (0, 0, i)),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -182,14 +212,13 @@ def esn_predict_pallas(res: EsnReservoir, scale: EsnScale,
 # --------------------------------------------------------------------------
 
 def _states_kernel(u_ref, d_ref, wt_ref, win_ref, wfb_ref, seed_ref,
-                   noise_ref, out_ref, *, T, with_prng):
+                   noise_ref, out_ref, *, T, with_prng, rec_bf16):
     if with_prng:
         pltpu.prng_seed(seed_ref[0, 0])
     out_ref[0] = jnp.zeros_like(out_ref[0])
 
     def step(t, s):
-        pre = (jnp.dot(s, wt_ref[:], preferred_element_type=jnp.float32,
-                       precision=_RECURRENCE_PRECISION)
+        pre = (_rec_dot(s, wt_ref[:], rec_bf16)
                + jnp.dot(u_ref[t], win_ref[:],
                          preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
@@ -224,14 +253,17 @@ def esn_states_pallas(res: EsnReservoir, scale: EsnScale, inputs: jnp.ndarray,
     d_rm = jnp.zeros((T, B_p, n_out_p), dtype=jnp.float32)
     d_rm = d_rm.at[:, :B, :n_out].set(
         jnp.transpose(teachers_scaled, (1, 0, 2)))
-    W = jnp.zeros((n_p, n_p), dtype=jnp.float32)
-    W = W.at[:n_res, :n_res].set(res.Wt)                       # s @ Wt form
+    w_dtype = (jnp.bfloat16 if _RECURRENCE_BF16 and not interpret
+               else jnp.float32)
+    W = jnp.zeros((n_p, n_p), dtype=w_dtype)
+    W = W.at[:n_res, :n_res].set(res.Wt.astype(w_dtype))       # s @ Wt form
     Win = jnp.zeros((n_in_p, n_p), dtype=jnp.float32)
     Win = Win.at[:n_in, :n_res].set(res.W_in_t)
     Wfb = jnp.zeros((n_out_p, n_p), dtype=jnp.float32)
     Wfb = Wfb.at[:n_out, :n_res].set(res.W_fb_t)
 
-    kernel = functools.partial(_states_kernel, T=T, with_prng=not interpret)
+    kernel = functools.partial(_states_kernel, T=T, with_prng=not interpret,
+                               rec_bf16=_RECURRENCE_BF16 and not interpret)
     noise_amp = jnp.reshape(res.noise.astype(jnp.float32), (1, 1))
     out = pl.pallas_call(
         kernel,

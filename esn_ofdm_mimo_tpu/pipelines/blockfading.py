@@ -102,6 +102,8 @@ def run_nbf_blocks(cfg: SimConfig, ebno_db, bkeys,
             y_obs = llr / 2.0 if cfg.ldpc.yobs_half else llr
             Lc = llr_from_yobs(y_obs, snr_db=1.0)
             d_hat, st = ldpc_decode_bp(code, Lc.reshape(-1, N * m), max_iter,
+                                       algo=cfg.ldpc.algo,
+                                       minsum_scale=cfg.ldpc.minsum_scale,
                                        return_stats=True)
             u_hat = d_hat[:, code.m:].reshape(B, Dd, n_tx, code.k)
             info_errors[name] = jnp.sum((u_hat != u_sel).astype(jnp.int32))

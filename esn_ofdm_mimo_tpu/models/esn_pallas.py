@@ -142,8 +142,12 @@ def esn_predict_pallas(res: EsnReservoir, scale: EsnScale,
     B, T, n_in = inputs.shape
     n_res = res.Wt.shape[0]
     n_out = Wt_out.shape[-1]
-    n_p = _pad_to(n_res, _LANE)
-    n_rs = _pad_to(n_res, _SUB)   # readout rows (sublane-padded, < n_p)
+    # state rows pad to sublanes only (Mosaic pads dot operands to lane
+    # tiles internally, so the MXU work is the same either way, but every
+    # VPU op on the state — tanh, noise, adds, readout — shrinks: 304 vs
+    # 384 rows at n_res=300)
+    n_p = _pad_to(n_res, _SUB)
+    n_rs = n_p                    # readout rows == state rows
     n_in_p = _pad_to(n_in, _SUB)
     B_p = _pad_to(B, BC)
     n_out_p = _pad_to(n_out, _SUB)

@@ -123,8 +123,8 @@ def esn_detect_symbols(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
     n_res = res.Wt.shape[0]
     if _use_pallas("predict", B, T, n_res, n_in, Wt_out.shape[-1]):
         from .esn_pallas import esn_predict_pallas
-        if Wt_out.shape[0] != B:  # the fused kernel wants per-row readouts
-            Wt_out = jnp.repeat(Wt_out, B // Wt_out.shape[0], axis=0)
+        # grouped Wt_out passes through: the kernel turns the shared-readout
+        # structure into masked MXU dots instead of per-lane VPU reduces
         pred = esn_predict_pallas(res, scale, Wt_out, X_in, n_forget, key)
     else:
         pred = esn_predict(res, scale, Wt_out, X_in, n_forget, key)

@@ -130,18 +130,71 @@ def _predict_kernel(u_ref, wt_ref, win_ref, wfb_ref, wofs_ref, wofu_ref,
     jax.lax.fori_loop(0, T, step, (s0, o0))
 
 
+def _predict_kernel_grouped(u_ref, wt_ref, win_ref, wfb_ref, wofs_ref,
+                            wofu_ref, mask_ref, seed_ref, noise_ref, out_ref,
+                            *, T, n_p, P, with_prng, rec_bf16):
+    """Grouped-readout variant: when Dg consecutive rows share a readout
+    (detect runs D data symbols per coherence block), a BC-lane program
+    spans at most P = BC//Dg + 2 distinct readouts. The per-lane VPU
+    multiply-reduce (~2*n_p vector ops per step) collapses to P tiny MXU
+    dots masked by lane-membership — the dominant VPU cost of the loop.
+
+    wofs_ref (P, n_out_p, n_p), wofu_ref (P, n_out_p, n_in_p): transposed
+    readouts of the P group slots this program's lanes can belong to;
+    mask_ref (P, n_out_p, BC): 1.0 where the lane belongs to slot p (zero
+    on padding lanes, so they emit o = 0).
+    """
+    if with_prng:
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+
+    def step(t, so):
+        s, o = so
+        u_t = u_ref[t]                                      # (n_in_p, BC)
+        pre = (_rec_dot(wt_ref[:], s, rec_bf16)
+               + jnp.dot(win_ref[:], u_t,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+               + jnp.dot(wfb_ref[:], o,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST))
+        s_new = jnp.tanh(pre)
+        if with_prng:
+            s_new = s_new + noise_ref[0, 0] * (
+                _uniform_from_bits(s_new.shape) - 0.5)
+        o_new = jnp.zeros_like(out_ref[0])
+        for p in range(P):
+            op = (jnp.dot(wofs_ref[p], s_new,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+                  + jnp.dot(wofu_ref[p], u_t,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST))
+            o_new = o_new + mask_ref[p] * op
+        out_ref[t] = o_new
+        return s_new, o_new
+
+    s0 = jnp.zeros((n_p, BC), dtype=jnp.float32)
+    o0 = jnp.zeros_like(out_ref[0])
+    jax.lax.fori_loop(0, T, step, (s0, o0))
+
+
 def esn_predict_pallas(res: EsnReservoir, scale: EsnScale,
                        Wt_out: jnp.ndarray, inputs: jnp.ndarray,
                        n_forget: int, noise_key,
                        interpret: bool = False) -> jnp.ndarray:
     """Drop-in for models/esn.esn_predict (continuation=False semantics).
 
-    inputs (B, T, n_in) raw; Wt_out (B, n_res+n_in, n_out); returns
+    inputs (B, T, n_in) raw; Wt_out (G, n_res+n_in, n_out) with B % G == 0:
+    readout g serves the contiguous run of Dg = B//G rows (esn_predict's
+    grouping convention; G == B is the fully-general per-row case). Returns
     (B, T-n_forget, n_out) unscaled outputs.
     """
     B, T, n_in = inputs.shape
     n_res = res.Wt.shape[0]
     n_out = Wt_out.shape[-1]
+    G = Wt_out.shape[0]
+    assert B % G == 0, (B, G)
+    Dg = B // G
     # state rows pad to sublanes only (Mosaic pads dot operands to lane
     # tiles internally, so the MXU work is the same either way, but every
     # VPU op on the state — tanh, noise, adds, readout — shrinks: 304 vs
@@ -165,18 +218,7 @@ def esn_predict_pallas(res: EsnReservoir, scale: EsnScale,
     Win = Win.at[:n_res, :n_in].set(res.W_in_t.T)
     Wfb = jnp.zeros((n_p, n_out_p), dtype=jnp.float32)
     Wfb = Wfb.at[:n_res, :n_out].set(res.W_fb_t.T)
-    wofs = jnp.zeros((n_rs, n_out_p, B_p), dtype=jnp.float32)
-    wofs = wofs.at[:n_res, :n_out, :B].set(
-        jnp.transpose(Wt_out[:, :n_res, :], (1, 2, 0)))
-    wofu = jnp.zeros((n_in_p, n_out_p, B_p), dtype=jnp.float32)
-    wofu = wofu.at[:n_in, :n_out, :B].set(
-        jnp.transpose(Wt_out[:, n_res:, :], (1, 2, 0)))
 
-    # interpret mode (CPU tests) lacks the TPU PRNG primitive; the reference
-    # parity tests run with noise amplitude 0 anyway
-    kernel = functools.partial(_predict_kernel, T=T, n_p=n_p, n_rs=n_rs,
-                               with_prng=not interpret,
-                               rec_bf16=_RECURRENCE_BF16 and not interpret)
     noise_amp = jnp.reshape(res.noise.astype(jnp.float32), (1, 1))
     # Mosaic's scoped-vmem default (16 MiB) undersizes big-reservoir configs
     # (e.g. 4x8 NBF: n_res=600, T=522 needs ~17.4 MiB with double buffering);
@@ -186,17 +228,78 @@ def esn_predict_pallas(res: EsnReservoir, scale: EsnScale,
     if need > _VMEM_SCOPED_DEFAULT and not interpret:
         params["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=min(int(need * 1.25), 100 * 1024 * 1024))
+
+    n_prog = B_p // BC
+    # A BC-lane window over rows grouped in runs of Dg spans at most
+    # BC//Dg + 2 distinct readouts; when that is small, the per-lane VPU
+    # readout can collapse to P masked MXU dots (kernel docstring).
+    # MEASURED SLOWER on v5e (272k vs 286k sym/s on the flagship): the
+    # M=8 dots serialize on the MXU port behind the recurrence matmul,
+    # while the per-lane VPU reduce overlaps with it — so the grouped
+    # kernel is opt-in (it may win where n_out is large).
+    P = min(G, BC // Dg + 2) if Dg > 1 else B_p
+    grouped = (Dg > 1 and P <= 4
+               and os.environ.get("ESN_TPU_PREDICT_READOUT") == "grouped")
+
+    if grouped:
+        # transposed readout stacks per program slot + lane-membership masks
+        WsT = jnp.zeros((G, n_out_p, n_p), dtype=jnp.float32)
+        WsT = WsT.at[:, :n_out, :n_res].set(
+            jnp.swapaxes(Wt_out[:, :n_res, :], -1, -2))
+        WuT = jnp.zeros((G, n_out_p, n_in_p), dtype=jnp.float32)
+        WuT = WuT.at[:, :n_out, :n_in].set(
+            jnp.swapaxes(Wt_out[:, n_res:, :], -1, -2))
+        base = (jnp.arange(n_prog) * BC) // Dg                 # (n_prog,)
+        slot = base[:, None] + jnp.arange(P)                   # may exceed G-1
+        gidx = jnp.minimum(slot, G - 1)                        # safe gather
+        wofs = WsT[gidx].reshape(n_prog * P, n_out_p, n_p)
+        wofu = WuT[gidx].reshape(n_prog * P, n_out_p, n_in_p)
+        row = jnp.arange(n_prog)[:, None] * BC + jnp.arange(BC)[None, :]
+        # membership tests the UNCLAMPED slot id: clamped duplicates would
+        # match (and double-count) the same lane in several slots
+        memb = (row[:, None, :] // Dg == slot[:, :, None]) & (
+            row[:, None, :] < B)                               # (n_prog,P,BC)
+        mask = jnp.broadcast_to(
+            memb[:, :, None, :].astype(jnp.float32),
+            (n_prog, P, n_out_p, BC)).reshape(n_prog * P, n_out_p, BC)
+        kernel = functools.partial(
+            _predict_kernel_grouped, T=T, n_p=n_p, P=P,
+            with_prng=not interpret,
+            rec_bf16=_RECURRENCE_BF16 and not interpret)
+        ro_specs = [
+            pl.BlockSpec((P, n_out_p, n_p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((P, n_out_p, n_in_p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((P, n_out_p, BC), lambda i: (i, 0, 0)),
+        ]
+        ro_args = (wofs, wofu, mask)
+    else:
+        wofs = jnp.zeros((n_rs, n_out_p, B_p), dtype=jnp.float32)
+        wofs = wofs.at[:n_res, :n_out, :B].set(jnp.transpose(
+            jnp.repeat(Wt_out[:, :n_res, :], Dg, axis=0), (1, 2, 0)))
+        wofu = jnp.zeros((n_in_p, n_out_p, B_p), dtype=jnp.float32)
+        wofu = wofu.at[:n_in, :n_out, :B].set(jnp.transpose(
+            jnp.repeat(Wt_out[:, n_res:, :], Dg, axis=0), (1, 2, 0)))
+        # interpret mode (CPU tests) lacks the TPU PRNG primitive; the
+        # reference parity tests run with noise amplitude 0 anyway
+        kernel = functools.partial(_predict_kernel, T=T, n_p=n_p, n_rs=n_rs,
+                                   with_prng=not interpret,
+                                   rec_bf16=_RECURRENCE_BF16 and not interpret)
+        ro_specs = [
+            pl.BlockSpec((n_rs, n_out_p, BC), lambda i: (0, 0, i)),
+            pl.BlockSpec((n_in_p, n_out_p, BC), lambda i: (0, 0, i)),
+        ]
+        ro_args = (wofs, wofu)
+
     out = pl.pallas_call(
         kernel,
         **params,
-        grid=(B_p // BC,),
+        grid=(n_prog,),
         in_specs=[
             pl.BlockSpec((T, n_in_p, BC), lambda i: (0, 0, i)),
             pl.BlockSpec((n_p, n_p), lambda i: (0, 0)),
             pl.BlockSpec((n_p, n_in_p), lambda i: (0, 0)),
             pl.BlockSpec((n_p, n_out_p), lambda i: (0, 0)),
-            pl.BlockSpec((n_rs, n_out_p, BC), lambda i: (0, 0, i)),
-            pl.BlockSpec((n_in_p, n_out_p, BC), lambda i: (0, 0, i)),
+            *ro_specs,
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -205,7 +308,7 @@ def esn_predict_pallas(res: EsnReservoir, scale: EsnScale,
         out_specs=pl.BlockSpec((T, n_out_p, BC), lambda i: (0, 0, i)),
         out_shape=jax.ShapeDtypeStruct((T, n_out_p, B_p), jnp.float32),
         interpret=interpret,
-    )(u_fm, W, Win, Wfb, wofs, wofu, _seed_arg(noise_key), noise_amp)
+    )(u_fm, W, Win, Wfb, *ro_args, _seed_arg(noise_key), noise_amp)
 
     outs = jnp.transpose(out[:, :n_out, :B], (2, 0, 1))        # (B, T, n_out)
     return outs[:, n_forget:] / scale.teacher_scaling

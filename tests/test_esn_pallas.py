@@ -58,6 +58,22 @@ def test_predict_kernel_large_batch_chunks():
                                atol=1e-4, rtol=1e-3)
 
 
+def test_predict_kernel_grouped_readouts(monkeypatch):
+    """Grouped Wt_out (Dg rows share a readout) through the opt-in masked
+    MXU-dot kernel must match the XLA grouped esn_predict — including
+    group boundaries inside a BC chunk and padding lanes past B."""
+    monkeypatch.setenv("ESN_TPU_PREDICT_READOUT", "grouped")
+    res, scale, X, D = _mk(B=3, T=30)
+    key = jax.random.PRNGKey(3)
+    Wt_out = esn_fit(res, scale, X, D, 3, key)       # (3, F, n_out)
+    Dg = 50                                          # P = 128//50 + 2 = 4
+    Xb = jnp.repeat(X, Dg, axis=0)                   # (150, T, n_in) grouped
+    P_ref = esn_predict(res, scale, Wt_out, Xb, 3, key)
+    P_pl = esn_predict_pallas(res, scale, Wt_out, Xb, 3, key, interpret=True)
+    np.testing.assert_allclose(np.asarray(P_pl), np.asarray(P_ref),
+                               atol=1e-4, rtol=1e-3)
+
+
 def test_viability_checks():
     # flagship CDL predict shape fits; an enormous one doesn't
     assert predict_viable(592, 138, 300, 16, 8)

@@ -215,25 +215,41 @@ def _readout_lstsq(ext: jnp.ndarray, tgt: jnp.ndarray,
 
 def esn_fit(res: EsnReservoir, scale: EsnScale, inputs: jnp.ndarray,
             outputs: jnp.ndarray, n_forget: int, noise_key,
-            rel_jitter: float = 1e-7) -> jnp.ndarray:
+            rel_jitter: float = 1e-7, return_carry: bool = False):
     """Train the readout on B sequences sharing one reservoir.
 
     inputs (B, T, n_in), outputs (B, T, n_out) raw; returns Wt_out
     (B, n_res + n_in, n_out) — transposed pyESN W_out.
     The first `n_forget` rows are discarded from the solve (pyESN `transient`,
     the reference's overlap-discard warmup).
+
+    With return_carry=True also returns (laststate, lastoutput_scaled) — the
+    pyESN `laststate`/`lastoutput` pair (pyESN.fit:194-197) that seeds
+    `esn_predict(..., init_carry=...)` for continuation=True semantics.
+    (pyESN's `lastinput` is stored too but never enters the update math:
+    pyESN.predict:249-253 reads inputs[n+1], so row 0 — the stored last
+    input — is only padding.)
     """
     teachers_scaled = outputs * scale.teacher_scaling
     states = esn_states(res, scale, inputs, teachers_scaled, noise_key)
     u = _scale_inputs(scale, inputs)
     ext = jnp.concatenate([states, u], axis=-1)  # (B, T, F)
-    return _readout_lstsq(ext[:, n_forget:], teachers_scaled[:, n_forget:],
-                          rel_jitter)
+    Wt_out = _readout_lstsq(ext[:, n_forget:], teachers_scaled[:, n_forget:],
+                            rel_jitter)
+    if return_carry:
+        return Wt_out, (states[:, -1], teachers_scaled[:, -1])
+    return Wt_out
 
 
 def esn_predict(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
-                inputs: jnp.ndarray, n_forget: int, noise_key) -> jnp.ndarray:
-    """Generate outputs with self-feedback (pyESN.predict, continuation=False).
+                inputs: jnp.ndarray, n_forget: int, noise_key,
+                init_carry=None) -> jnp.ndarray:
+    """Generate outputs with self-feedback (pyESN.predict).
+
+    init_carry=None reproduces continuation=False (zero initial state/output,
+    pyESN.predict:238-241); passing the (laststate, lastoutput_scaled) pair
+    from `esn_fit(..., return_carry=True)` reproduces continuation=True
+    (pyESN.predict:234-237), resuming the reservoir from where fit left it.
 
     inputs (B, T, n_in) raw; Wt_out (G, F, n_out) with B % G == 0: readout g
     serves the contiguous group of B//G sequences starting at g*(B//G) — the
@@ -256,8 +272,13 @@ def esn_predict(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
     Wt_s = Wt_out[:, :n_res, :]   # (G, n_res, n_out) state part of the readout
     Wt_u = Wt_out[:, n_res:, :]   # (G, n_in, n_out) input part
 
-    s0 = jnp.zeros((B, n_res), dtype=res.Wt.dtype)
-    o0 = jnp.zeros((B, n_out), dtype=res.Wt.dtype)
+    if init_carry is None:
+        s0 = jnp.zeros((B, n_res), dtype=res.Wt.dtype)
+        o0 = jnp.zeros((B, n_out), dtype=res.Wt.dtype)
+    else:
+        s0, o0 = init_carry
+        s0 = jnp.broadcast_to(s0, (B, n_res)).astype(res.Wt.dtype)
+        o0 = jnp.broadcast_to(o0, (B, n_out)).astype(res.Wt.dtype)
 
     def read_states(s):
         """(B, n_res) @ grouped readout -> (B, n_out)."""

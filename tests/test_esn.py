@@ -34,12 +34,12 @@ class OracleESN:
         self.W_out = (np.linalg.pinv(ext[n_forget:]) @ d[n_forget:]).T
         return self.W_out
 
-    def predict(self, X, n_forget):
+    def predict(self, X, n_forget, s0=None, o0=None):
         T = X.shape[0]
         n = self.W.shape[0]
         u = X * self.in_scale
-        s = np.zeros(n)
-        o = np.zeros(self.W_fb.shape[1])
+        s = np.zeros(n) if s0 is None else s0.copy()
+        o = np.zeros(self.W_fb.shape[1]) if o0 is None else o0.copy()
         outs = []
         for t in range(T):
             s = np.tanh(self.W @ s + self.W_in @ u[t] + self.W_fb @ o)
@@ -95,6 +95,33 @@ def test_predict_matches_oracle():
     # f32 recurrence + solve vs f64 oracle: modest tolerance, correlation ~1
     err = np.linalg.norm(np.asarray(pred[0]) - pred_o) / np.linalg.norm(pred_o)
     assert err < 5e-2
+
+
+def test_predict_continuation_matches_oracle():
+    """continuation=True semantics: predict resumes from fit's laststate/
+    lastoutput (pyESN.predict:234-237) instead of a zero carry."""
+    res, scale, oracle, X, D = _mk()
+    oracle.fit(X, D, n_forget=10)
+    S_o, _, d_o = oracle.harvest(X, D)
+    Wt_out, (laststate, lastout) = esn_fit(
+        res, scale, jnp.asarray(X, jnp.float32)[None],
+        jnp.asarray(D, jnp.float32)[None], 10, jax.random.PRNGKey(0),
+        return_carry=True)
+    np.testing.assert_allclose(np.asarray(laststate[0]), S_o[-1], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lastout[0]), d_o[-1], atol=1e-6)
+
+    X2 = X[::-1]  # fresh inputs for the continued run
+    pred_o = oracle.predict(X2, 0, s0=S_o[-1], o0=d_o[-1])
+    pred = esn_predict(res, scale, Wt_out, jnp.asarray(X2, jnp.float32)[None],
+                       0, jax.random.PRNGKey(1),
+                       init_carry=(laststate, lastout))
+    err = np.linalg.norm(np.asarray(pred[0]) - pred_o) / np.linalg.norm(pred_o)
+    assert err < 5e-2
+    # and the carry genuinely changes the trajectory vs continuation=False
+    pred_zero = esn_predict(res, scale, Wt_out,
+                            jnp.asarray(X2, jnp.float32)[None],
+                            0, jax.random.PRNGKey(1))
+    assert np.linalg.norm(np.asarray(pred[0] - pred_zero[0])) > 1e-3
 
 
 def test_batch_independence():

@@ -17,12 +17,13 @@ over transmit antennas (reference :303-311).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fft_mxu import fft_mxu
+from .fft_mxu import fft_mxu, ifft_mxu
 
 # 3GPP TR 38.901 (Rel-16) Table 7.7.2-2: TDL-B normalized delays and powers.
 TDLB_NORM_DELAYS = np.array([
@@ -106,6 +107,16 @@ def draw_flat_awgn_tap(key, n_rx: int, n_tx: int) -> jnp.ndarray:
     return jnp.exp(1j * phase).astype(jnp.complex64)
 
 
+# FIR implementation A/B knob (see apply_fir_channel):
+#   dft   — frequency-domain linear convolution (default; measured 1.1 ms
+#           /round on the flagship datapath vs 8.8 ms for the original
+#           per-tap shift-accumulate, tools/profile_datapath.py)
+#   stack — shifted-copies matmul (K = n_tx*isi batched dot; 5.3 ms)
+#   conv  — grouped conv_general_dilated (pathological on v5e: 113 ms —
+#           the conv emitter collapses under B-many feature groups)
+_FIR_IMPL = os.environ.get("ESN_TPU_FIR_IMPL", "dft")
+
+
 def apply_fir_channel(taps: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Causal FIR channel, lfilter semantics, summed over TX antennas.
 
@@ -113,29 +124,88 @@ def apply_fir_channel(taps: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     x:    (..., n_tx, T) complex time-domain per TX antenna
     returns (..., n_rx, T): y[r, n] = sum_t sum_k taps[r,t,k] * x[t, n-k]
 
-    Implemented as an unrolled shift-accumulate over the (static, small) tap
-    axis — XLA fuses this into a handful of vector ops; taps <= 8 in all
-    reference configurations, so no conv kernel is needed here.
+    MXU layout: the isi shifted copies of x are stacked ONCE into a
+    (..., T, n_tx*isi) operand and contracted against (..., n_rx, n_tx*isi)
+    in a single batched dot with M = T rows and K = n_tx*isi. A per-tap
+    shift-accumulate (the reference's `lfilter(c, 1, x)` per (rx, tx) pair,
+    OFDM_SISO_NBF_LDPC.py:423) issues isi x 4 batched (n_rx, n_tx)@(n_tx, T)
+    real dots whose M/K dims are single-digit — measured 8.8 ms/round on the
+    flagship datapath vs ~1 ms for this form (tools/profile_datapath.py).
+    Complex product via 4 real einsums (axon TPU lacks complex matmul).
     """
+    if _FIR_IMPL == "conv":
+        return _apply_fir_conv(taps, x)
+    if _FIR_IMPL == "dft" and taps.shape[-1] > 1:
+        return _apply_fir_dft(taps, x)
     isi = taps.shape[-1]
     T = x.shape[-1]
 
-    def cmul_contract(t_k, xs):
-        # complex (..., n_rx, n_tx) x (..., n_tx, T) -> (..., n_rx, T) via
-        # real einsums only (axon TPU lacks complex matmul)
-        tr, ti = jnp.real(t_k), jnp.imag(t_k)
-        xr, xi = jnp.real(xs), jnp.imag(xs)
-        yr = (jnp.einsum("...rt,...tn->...rn", tr, xr)
-              - jnp.einsum("...rt,...tn->...rn", ti, xi))
-        yi = (jnp.einsum("...rt,...tn->...rn", tr, xi)
-              + jnp.einsum("...rt,...tn->...rn", ti, xr))
-        return yr + 1j * yi
-
-    y = cmul_contract(taps[..., 0], x)
+    # S[..., t, n, k] = x[..., t, n-k] (zero for n < k), then fold (t, k)
+    shifted = [x]
     for k in range(1, isi):
-        xs = jnp.pad(x[..., : T - k], [(0, 0)] * (x.ndim - 1) + [(k, 0)])
-        y = y + cmul_contract(taps[..., k], xs)
-    return y
+        shifted.append(
+            jnp.pad(x[..., : T - k], [(0, 0)] * (x.ndim - 1) + [(k, 0)]))
+    S = jnp.stack(shifted, axis=-1)                  # (..., n_tx, T, isi)
+    S = jnp.swapaxes(S, -3, -2)                      # (..., T, n_tx, isi)
+    S = S.reshape(*S.shape[:-2], S.shape[-2] * S.shape[-1])  # (..., T, C)
+    tf = taps.reshape(*taps.shape[:-2], taps.shape[-2] * taps.shape[-1])
+
+    Sr, Si = jnp.real(S), jnp.imag(S)
+    tr, ti = jnp.real(tf), jnp.imag(tf)              # (..., n_rx, C)
+    yr = (jnp.einsum("...nc,...rc->...rn", Sr, tr)
+          - jnp.einsum("...nc,...rc->...rn", Si, ti))
+    yi = (jnp.einsum("...nc,...rc->...rn", Sr, ti)
+          + jnp.einsum("...nc,...rc->...rn", Si, tr))
+    return yr + 1j * yi
+
+
+def _apply_fir_dft(taps: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """apply_fir_channel via frequency-domain linear convolution.
+
+    lfilter's causal-truncated output equals the first T samples of the
+    linear convolution, which a circular convolution at length
+    L = T + isi - 1 computes exactly. The two DFTs are (., L) @ (L, L)
+    matmuls (fft_mxu) — large-M MXU shapes with NO isi-fold data expansion,
+    unlike the shifted-copies stack; the per-frequency TX mixing fuses into
+    one multiply-reduce."""
+    isi = taps.shape[-1]
+    T = x.shape[-1]
+    L = T + isi - 1
+    X = fft_mxu(jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, L - T)]), axis=-1)
+    H = fft_mxu(jnp.pad(taps, [(0, 0)] * (taps.ndim - 1) + [(0, L - isi)]),
+                axis=-1)
+    Y = jnp.sum(H * X[..., None, :, :], axis=-2)     # (..., n_rx, L)
+    return ifft_mxu(Y, axis=-1)[..., :T]
+
+
+def _apply_fir_conv(taps: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """apply_fir_channel via grouped conv_general_dilated: each (lead...)
+    entry is one feature group (n_tx in -> n_rx out channels), causal padding
+    (isi-1, 0), kernel tap axis reversed (conv primitive is correlation).
+    Avoids materializing the isi shifted copies of x — the conv emitter
+    windows the input on-chip."""
+    isi = taps.shape[-1]
+    T = x.shape[-1]
+    n_tx = x.shape[-2]
+    n_rx = taps.shape[-3]
+    lead = jnp.broadcast_shapes(x.shape[:-2], taps.shape[:-3])
+    B = 1
+    for d in lead:
+        B *= int(d)
+    xb = jnp.broadcast_to(x, lead + x.shape[-2:]).reshape(1, B * n_tx, T)
+    tb = jnp.broadcast_to(taps, lead + taps.shape[-3:]).reshape(
+        B * n_rx, n_tx, isi)[..., ::-1]
+
+    def conv(l, r):
+        return jax.lax.conv_general_dilated(
+            l, r, window_strides=(1,), padding=[(isi - 1, 0)],
+            dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=B)
+
+    xr, xi = jnp.real(xb), jnp.imag(xb)
+    tr, ti = jnp.real(tb), jnp.imag(tb)
+    yr = conv(xr, tr) - conv(xi, ti)
+    yi = conv(xr, ti) + conv(xi, tr)
+    return (yr + 1j * yi).reshape(*lead, n_rx, T)
 
 
 def taps_to_freq_response(taps: jnp.ndarray, n_subcarriers: int) -> jnp.ndarray:

@@ -65,8 +65,10 @@ import os
 _LANE = 128       # TPU lane width (feature-dim padding granularity)
 # predict kernel: batch rows per grid program. Wider chunks amortise the
 # per-step fixed costs (loop control, readout setup) over more lanes at the
-# same sequential depth; must be a multiple of _LANE.
-BC = int(os.environ.get("ESN_TPU_PREDICT_BC", "128"))
+# same sequential depth; must be a multiple of _LANE. Measured on the
+# flagship detect shape (B=9472, T=138, n_res=300): 128 -> 442k sym/s,
+# 256 -> 458k, 512 -> 443k; 256 also divides the flagship batch exactly.
+BC = int(os.environ.get("ESN_TPU_PREDICT_BC", "256"))
 _SUB = 8          # f32 sublane multiple
 # Working-set ceiling for routing to the fused kernels. v5e has 128 MiB of
 # VMEM per core; we pass an explicit vmem_limit_bytes to the Mosaic compiler

@@ -125,6 +125,9 @@ def main():
     if "eq" in groups:
         run_eq_variants()
 
+    if "eqw" in groups:
+        run_eqw_variants()
+
 
 # ------------------------------------------------------- predict variants
 
@@ -311,6 +314,36 @@ def run_eq_variants():
         x = xe[..., :N_TX] + 1j * xe[..., N_TX:]
         return jnp.sum(jnp.abs(x))
     timed("eq apply (bn-batched dot)", v_dot2, We, Yr, Yi)
+
+
+def run_eqw_variants():
+    """equalizer_weights decomposition: Gram build vs Cholesky solve."""
+    from esn_ofdm_mimo_tpu.ops.equalize import _embed_H, equalizer_weights
+    from esn_ofdm_mimo_tpu.ops.linalg_mxu import chol_solve_small
+    rng = np.random.default_rng(3)
+    Hr = jnp.asarray(rng.standard_normal((NB, N, N_RX, N_TX)), jnp.float32)
+    Hi = jnp.asarray(rng.standard_normal((NB, N, N_RX, N_TX)), jnp.float32)
+    reg = jnp.float32(0.05)
+
+    def v_full(Hr, Hi, reg):
+        return jnp.sum(equalizer_weights(Hr + 1j * Hi, reg))
+    timed("eqw full (gram+chol)", v_full, Hr, Hi, reg)
+
+    def v_gram(Hr, Hi, reg):
+        He = _embed_H(Hr + 1j * Hi)
+        G = jnp.einsum("...ij,...ik->...jk", He, He)
+        G = G + reg * jnp.eye(2 * N_TX, dtype=G.dtype)
+        return jnp.sum(G) + jnp.sum(He)
+    timed("eqw gram only", v_gram, Hr, Hi, reg)
+
+    def v_3x(Hr, Hi, reg):
+        # the cal round factors THREE equalizer sets only in the NBF
+        # pipelines; CDL cal uses one (mmse). This bounds the NBF cost.
+        s = jnp.float32(0.0)
+        for r in (1e-12, 1e-12, 0.05):
+            s = s + jnp.sum(equalizer_weights(Hr + 1j * Hi, jnp.float32(r)))
+        return s
+    timed("eqw x3 (zf+zf+mmse)", v_3x, Hr, Hi, reg)
 
 
 if __name__ == "__main__":

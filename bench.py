@@ -35,7 +35,7 @@ os.environ.setdefault(
 import numpy as np
 
 
-def _bench_tpu(n_blocks: int = 128, rounds: int = 32, iters: int = 3) -> float:
+def _bench_tpu(n_blocks: int = 128, rounds: int = 64, iters: int = 3) -> float:
     """n_blocks=128 sits at the measured per-chunk throughput plateau on v5e
     (8 -> 15.5k, 32 -> 35.8k, 64 -> 45.7k, 128 -> 86.8k symbols/s after the
     precision split). `rounds` chunks are lax.scan'd inside ONE dispatch:
@@ -43,7 +43,9 @@ def _bench_tpu(n_blocks: int = 128, rounds: int = 32, iters: int = 3) -> float:
     program, docs/ENVIRONMENT.md), so single-chunk calls leave ~35% of wall
     time in host<->relay latency that says nothing about the chip. Measured
     2026-08: rounds 8 -> 16 -> 32 gives 242k -> 257k -> 265k sym/s (the
-    floor amortises); blocks 256 is past the plateau (235k)."""
+    floor amortises); re-measured with the round-1-final kernels:
+    rounds 32 -> 64 gives 458k -> 470k, blocks 256 is still past the
+    plateau (417k at rounds 32)."""
     import jax
     import jax.numpy as jnp
     from esn_ofdm_mimo_tpu.experiments.presets import mimo_4x8_cdl

@@ -117,3 +117,39 @@ def test_fused_grid_matches_per_snr_dispatch():
     np.testing.assert_array_equal(fused.total_bits, legacy.total_bits)
     np.testing.assert_allclose(fused.capacity_per_sc, legacy.capacity_per_sc,
                                rtol=1e-6)
+
+
+def test_cdl_fused_snr_step_layout_invariant():
+    """CDL fused per-SNR step: classical counters and calibrators must be
+    bit-identical between a 1-device and an 8-way-sharded mesh on the same
+    global block ids (per-block key folding); ESN detectors share a
+    reservoir per local batch, so they only match statistically."""
+    from esn_ofdm_mimo_tpu.parallel.montecarlo import make_fused_cdl_snr_step
+
+    import dataclasses
+    cfg = dataclasses.replace(
+        tiny_cfg(), channel=ChannelConfig(kind="cdl_b", n_tx=1, n_rx=2))
+    G = 8
+    ckeys = block_keys(jax.random.PRNGKey(0), 0,
+                       jnp.arange(G, dtype=jnp.uint32)).reshape(1, G, -1)
+    dkeys = block_keys(jax.random.PRNGKey(0), 0,
+                       jnp.arange(G, 2 * G, dtype=jnp.uint32)).reshape(1, G, -1)
+
+    outs = {}
+    for n_dev in (1, 8):
+        step = make_fused_cdl_snr_step(cfg, trials_mesh(n_dev),
+                                       cal_rounds=1, dec_rounds=1)
+        outs[n_dev] = step(jnp.float32(12.0), ckeys, dkeys)
+
+    (e1, t1, d1, c1), (e8, t8, d8, c8) = outs[1], outs[8]
+    assert int(e1["mmse"]) == int(e8["mmse"])
+    assert int(t1) == int(t8)
+    assert int(d1.bit_errors["mmse"]) == int(d8.bit_errors["mmse"])
+    assert int(d1.info_errors["mmse"]) == int(d8.info_errors["mmse"])
+    assert int(d1.total_bits) == int(d8.total_bits)
+    np.testing.assert_allclose(np.asarray(c1["mmse"]),
+                               np.asarray(c8["mmse"]), rtol=1e-5)
+    # ESN: statistically identical only (per-local-batch reservoir draw)
+    a = int(e1["esn"]) / int(t1)
+    b = int(e8["esn"]) / int(t8)
+    assert abs(a - b) < 0.15, (a, b)

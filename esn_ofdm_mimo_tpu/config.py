@@ -69,6 +69,9 @@ class ChannelConfig:
       (reference OFDM_SISO_NBF_LDPC.py:162-164, 272-279).
     kind="cdl_b": 3GPP TR 38.901 TDL-B 23-tap profile scaled to delay_spread_ns
       with linear fractional-delay splitting (Demo_MIMO_4x8_Sionna_CDL_ESN_v2.py:127-165).
+    kind="cdl_a"/"cdl_c": TR 38.901 TDL-A / TDL-C profiles (Tables
+      7.7.2-1/-3), same scaling/splitting — framework extensions; the
+      reference only implements TDL-B.
     kind="awgn_flat": single random unit-magnitude complex tap
       (Demo_SISO_QPSK_AWGN_LDPC_ESN_with_ZF_LS.py:205-206).
     """

@@ -13,6 +13,7 @@ from .channel import (  # noqa: F401
     exp_pdp,
     draw_exp_pdp_taps,
     draw_cdlb_taps,
+    draw_tdl_taps,
     draw_flat_awgn_tap,
     apply_fir_channel,
     taps_to_freq_response,

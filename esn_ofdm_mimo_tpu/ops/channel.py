@@ -37,6 +37,34 @@ TDLB_POW_DB = np.array([
     -9.8, -11.4, -14.9, -9.2, -11.3,
 ])
 
+# Framework extensions beyond the reference (which only uses TDL-B):
+# TR 38.901 Table 7.7.2-1 (TDL-A, NLOS) and Table 7.7.2-3 (TDL-C, NLOS).
+TDLA_NORM_DELAYS = np.array([
+    0.0000, 0.3819, 0.4025, 0.5868, 0.4610, 0.5375, 0.6708, 0.5750,
+    0.7618, 1.5375, 1.8978, 2.2242, 2.1718, 2.4942, 2.5119, 3.0582,
+    4.0810, 4.4579, 4.5695, 4.7966, 5.0066, 5.3043, 9.6586,
+])
+TDLA_POW_DB = np.array([
+    -13.4, 0.0, -2.2, -4.0, -6.0, -8.2, -9.9, -10.5, -7.5, -15.9,
+    -6.6, -16.7, -12.4, -15.2, -10.8, -11.3, -12.7, -16.2, -18.3,
+    -18.9, -16.6, -19.9, -29.7,
+])
+TDLC_NORM_DELAYS = np.array([
+    0.0000, 0.2099, 0.2219, 0.2329, 0.2176, 0.6366, 0.6448, 0.6560,
+    0.6584, 0.7935, 0.8213, 0.9336, 1.2285, 1.3083, 2.1704, 2.7105,
+    4.2589, 4.6003, 5.4902, 5.6077, 6.3065, 6.6374, 7.0427, 8.6523,
+])
+TDLC_POW_DB = np.array([
+    -4.4, -1.2, -3.5, -5.2, -2.5, 0.0, -2.2, -3.9, -7.4, -7.1,
+    -10.7, -11.1, -5.1, -6.8, -8.7, -13.2, -13.9, -13.9, -15.8,
+    -17.1, -16.0, -15.7, -21.6, -22.8,
+])
+TDL_PROFILES = {
+    "a": (TDLA_NORM_DELAYS, TDLA_POW_DB),
+    "b": (TDLB_NORM_DELAYS, TDLB_POW_DB),
+    "c": (TDLC_NORM_DELAYS, TDLC_POW_DB),
+}
+
 
 def exp_pdp(isi_duration: int) -> jnp.ndarray:
     """One-sided exponential PDP over cp_len+1 == isi_duration taps.
@@ -61,12 +89,13 @@ def draw_exp_pdp_taps(key, n_rx: int, n_tx: int, isi_duration: int) -> jnp.ndarr
 
 
 @functools.lru_cache(maxsize=None)
-def _cdlb_split_matrix(isi_duration: int, sample_rate_hz: float,
-                       delay_spread_ns: float) -> np.ndarray:
+def _tdl_split_matrix(profile: str, isi_duration: int, sample_rate_hz: float,
+                      delay_spread_ns: float) -> np.ndarray:
     """(n_paths, isi) real matrix S with S[p, i] = contribution weight of path p
     to integer tap i: linear split between floor(d) and floor(d)+1."""
-    delays_samp = TDLB_NORM_DELAYS * delay_spread_ns * 1e-9 * sample_rate_hz
-    n_paths = len(TDLB_NORM_DELAYS)
+    norm_delays = TDL_PROFILES[profile][0]
+    delays_samp = norm_delays * delay_spread_ns * 1e-9 * sample_rate_hz
+    n_paths = len(norm_delays)
     S = np.zeros((n_paths, isi_duration))
     for p, d in enumerate(delays_samp):
         i0 = int(np.floor(d))
@@ -78,14 +107,21 @@ def _cdlb_split_matrix(isi_duration: int, sample_rate_hz: float,
     return S
 
 
-def draw_cdlb_taps(key, n_rx: int, n_tx: int, isi_duration: int,
-                   sample_rate_hz: float, delay_spread_ns: float) -> jnp.ndarray:
-    """(n_rx, n_tx, isi) CDL-B TDL taps, per-link unit-power normalised."""
-    pow_lin = 10.0 ** (TDLB_POW_DB / 10.0)
+def draw_tdl_taps(key, n_rx: int, n_tx: int, isi_duration: int,
+                  sample_rate_hz: float, delay_spread_ns: float,
+                  profile: str = "b") -> jnp.ndarray:
+    """(n_rx, n_tx, isi) 38.901 TDL taps, per-link unit-power normalised.
+
+    profile in {"a", "b", "c"} (Tables 7.7.2-1/-2/-3). The reference only
+    implements TDL-B (Demo_MIMO_4x8_Sionna_CDL_ESN_v2.py:127-165); A and C
+    are framework extensions with the same delay-spread scaling,
+    fractional-delay linear split and unit-power normalisation."""
+    pow_db = TDL_PROFILES[profile][1]
+    pow_lin = 10.0 ** (pow_db / 10.0)
     pow_lin = jnp.asarray(pow_lin / pow_lin.sum(), dtype=jnp.float32)
     split = jnp.asarray(
-        _cdlb_split_matrix(isi_duration, float(sample_rate_hz),
-                           float(delay_spread_ns)), dtype=jnp.float32)
+        _tdl_split_matrix(profile, isi_duration, float(sample_rate_hz),
+                          float(delay_spread_ns)), dtype=jnp.float32)
     n_paths = pow_lin.shape[0]
     kr, ki = jax.random.split(key)
     shape = (n_rx, n_tx, n_paths)
@@ -99,6 +135,13 @@ def draw_cdlb_taps(key, n_rx: int, n_tx: int, isi_duration: int,
     power = jnp.sum(jnp.abs(h) ** 2, axis=-1, keepdims=True)
     h = h / jnp.sqrt(jnp.maximum(power, 1e-30))
     return h.astype(jnp.complex64)
+
+
+def draw_cdlb_taps(key, n_rx: int, n_tx: int, isi_duration: int,
+                   sample_rate_hz: float, delay_spread_ns: float) -> jnp.ndarray:
+    """(n_rx, n_tx, isi) CDL-B TDL taps (the reference's channel)."""
+    return draw_tdl_taps(key, n_rx, n_tx, isi_duration, sample_rate_hz,
+                         delay_spread_ns, profile="b")
 
 
 def draw_flat_awgn_tap(key, n_rx: int, n_tx: int) -> jnp.ndarray:

@@ -87,9 +87,12 @@ def _draw_taps(cfg: SimConfig, bkeys) -> jnp.ndarray:
     ch, ofdm = cfg.channel, cfg.ofdm
     if ch.kind == "exp_pdp":
         fn = lambda k: draw_exp_pdp_taps(k, ch.n_rx, ch.n_tx, ofdm.isi_duration)
-    elif ch.kind == "cdl_b":
-        fn = lambda k: draw_cdlb_taps(k, ch.n_rx, ch.n_tx, ofdm.isi_duration,
-                                      ofdm.sample_rate_hz, ch.delay_spread_ns)
+    elif ch.kind in ("cdl_a", "cdl_b", "cdl_c"):
+        from ..ops.channel import draw_tdl_taps
+        profile = ch.kind[-1]
+        fn = lambda k: draw_tdl_taps(k, ch.n_rx, ch.n_tx, ofdm.isi_duration,
+                                     ofdm.sample_rate_hz, ch.delay_spread_ns,
+                                     profile=profile)
     elif ch.kind == "awgn_flat":
         fn = lambda k: draw_flat_awgn_tap(k, ch.n_rx, ch.n_tx)
     else:

@@ -186,3 +186,63 @@ def test_factored_equalizer_matches_persc():
         We = equalizer_weights(jnp.asarray(H), jnp.float32(reg))
         fast = np.asarray(apply_equalizer(We, jnp.asarray(Y), sqrt_pi))
         np.testing.assert_allclose(fast, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_tdl_profiles_a_c():
+    """TDL-A/C extensions: unit power, determinism, distinct mean delay
+    profiles (A/B/C have different delay tables), and the B profile equals
+    the draw_cdlb_taps wrapper exactly."""
+    from esn_ofdm_mimo_tpu.ops.channel import draw_tdl_taps, TDL_PROFILES
+    k = jax.random.PRNGKey(7)
+    out = {}
+    for p in ("a", "b", "c"):
+        taps = draw_tdl_taps(k, 2, 1, 8, 2 * 1.024e6, 300.0, profile=p)
+        assert taps.shape == (2, 1, 8)
+        np.testing.assert_allclose(
+            np.sum(np.abs(np.asarray(taps)) ** 2, axis=-1), 1.0, rtol=1e-4)
+        again = draw_tdl_taps(k, 2, 1, 8, 2 * 1.024e6, 300.0, profile=p)
+        np.testing.assert_array_equal(np.asarray(taps), np.asarray(again))
+        out[p] = np.asarray(taps)
+    assert not np.allclose(out["a"], out["b"])
+    assert not np.allclose(out["b"], out["c"])
+    np.testing.assert_array_equal(
+        out["b"],
+        np.asarray(draw_cdlb_taps(k, 2, 1, 8, 2 * 1.024e6, 300.0)))
+    # per-tap mean power matches each table's analytic profile
+    # E|h_i|^2 ∝ sum_p pow_lin[p] * S[p, i]^2 (independent per-path gains;
+    # the per-link unit-power renormalisation preserves the shape)
+    from esn_ofdm_mimo_tpu.ops.channel import _tdl_split_matrix
+    keys = jax.random.split(jax.random.PRNGKey(8), 1500)
+    for p in ("a", "b", "c"):
+        t = jax.vmap(lambda kk: draw_tdl_taps(kk, 1, 1, 8, 2 * 1.024e6,
+                                              300.0, profile=p))(keys)
+        pw = np.mean(np.abs(np.asarray(t)) ** 2, axis=0)[0, 0]
+        pow_lin = 10.0 ** (TDL_PROFILES[p][1] / 10.0)
+        S = _tdl_split_matrix(p, 8, 2 * 1.024e6, 300.0)
+        expect = (pow_lin[:, None] * S**2).sum(axis=0)
+        corr = np.corrcoef(pw, expect)[0, 1]
+        assert corr > 0.99, (p, corr, pw, expect)
+
+
+def test_cdl_a_c_pipeline_kinds():
+    """kind='cdl_a'/'cdl_c' run end-to-end through the block pipeline."""
+    import dataclasses
+    from esn_ofdm_mimo_tpu.config import (
+        SimConfig, OfdmConfig, ChannelConfig, EsnConfig, LdpcConfig)
+    from esn_ofdm_mimo_tpu.pipelines.cdl import run_cdl_cal_blocks
+    from esn_ofdm_mimo_tpu.utils.rng import block_keys
+    for kind in ("cdl_a", "cdl_c"):
+        cfg = SimConfig(
+            name=f"tiny_{kind}",
+            ofdm=OfdmConfig(n_subcarriers=32, bits_per_symbol=4,
+                            doppler_hz=3000.0),
+            channel=ChannelConfig(kind=kind, n_tx=1, n_rx=2),
+            esn=EsnConfig(n_reservoir=24, train_ebno_fixed_db=None),
+            ldpc=LdpcConfig(max_iter=5),
+            ebno_db=(12.0,))
+        keys = block_keys(jax.random.PRNGKey(0), 0,
+                          jnp.arange(2, dtype=jnp.uint32))
+        out = run_cdl_cal_blocks(cfg, jnp.float32(12.0), keys)
+        errs = int(out.bit_errors["mmse"])
+        tot = int(out.total_bits)
+        assert 0 <= errs <= tot and tot > 0

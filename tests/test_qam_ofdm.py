@@ -79,3 +79,25 @@ def test_rapp_pa_matches_formula_and_limits():
     assert abs(np.asarray(rapp_pa(big, A))) < A
     small = jnp.asarray(np.complex64(1e-3 + 0j))
     assert abs(np.asarray(rapp_pa(small, A)) - 1e-3) < 1e-6
+
+
+def test_64qam_roundtrip_and_llr_signs():
+    """m=6 (beyond the reference's QPSK/16-QAM): constellation unit power,
+    exact hard-demap roundtrip, and max-log LLR signs match the bits."""
+    import jax
+    from esn_ofdm_mimo_tpu.ops import (qam_constellation, bits_to_symbols,
+                                       symbols_to_bits_hard, qam_llrs_maxlog)
+    m = 6
+    c = qam_constellation(m)
+    assert c.shape == (64,)
+    np.testing.assert_allclose(float(jnp.mean(jnp.abs(c) ** 2)), 1.0,
+                               rtol=1e-6)
+    bits = jax.random.bernoulli(jax.random.PRNGKey(0), 0.5,
+                                (4, 8 * m)).astype(jnp.int8)
+    X = bits_to_symbols(bits, m)
+    np.testing.assert_array_equal(np.asarray(symbols_to_bits_hard(X, m)),
+                                  np.asarray(bits))
+    llr = qam_llrs_maxlog(X, jnp.float32(0.01), m)
+    np.testing.assert_array_equal(
+        np.asarray(llr.reshape(4, 8, m) > 0),
+        np.asarray(bits.reshape(4, 8, m) == 0))

@@ -3,10 +3,11 @@
 Tap generators (all return (n_rx, n_tx, isi) complex64):
   * draw_exp_pdp_taps — i.i.d. CN(0, pdp) taps with one-sided exponential
     power-delay profile (reference OFDM_SISO_NBF_LDPC.py:162-164, 272-279).
-  * draw_cdlb_taps — 3GPP TR 38.901 Table 7.7.2-2 TDL-B 23-path profile scaled
-    to a target RMS delay spread, fractional delays linearly split between
-    adjacent integer taps, per-link unit-power normalisation
-    (reference Demo_MIMO_4x8_Sionna_CDL_ESN_v2.py:127-165).
+  * draw_tdl_taps — 3GPP TR 38.901 TDL-A/B/C profiles (Tables 7.7.2-1/-2/-3)
+    scaled to a target RMS delay spread, fractional delays linearly split
+    between adjacent integer taps, per-link unit-power normalisation. TDL-B
+    is the reference's channel (Demo_MIMO_4x8_Sionna_CDL_ESN_v2.py:127-165,
+    kept as the draw_cdlb_taps wrapper); A and C are framework extensions.
   * draw_flat_awgn_tap — single random-phase unit-magnitude tap (reference
     Demo_SISO_QPSK_AWGN_LDPC_ESN_with_ZF_LS.py flat-channel draw).
 
@@ -167,14 +168,15 @@ def apply_fir_channel(taps: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     x:    (..., n_tx, T) complex time-domain per TX antenna
     returns (..., n_rx, T): y[r, n] = sum_t sum_k taps[r,t,k] * x[t, n-k]
 
-    MXU layout: the isi shifted copies of x are stacked ONCE into a
-    (..., T, n_tx*isi) operand and contracted against (..., n_rx, n_tx*isi)
-    in a single batched dot with M = T rows and K = n_tx*isi. A per-tap
-    shift-accumulate (the reference's `lfilter(c, 1, x)` per (rx, tx) pair,
-    OFDM_SISO_NBF_LDPC.py:423) issues isi x 4 batched (n_rx, n_tx)@(n_tx, T)
-    real dots whose M/K dims are single-digit — measured 8.8 ms/round on the
-    flagship datapath vs ~1 ms for this form (tools/profile_datapath.py).
-    Complex product via 4 real einsums (axon TPU lacks complex matmul).
+    Default implementation: frequency-domain linear convolution
+    (_apply_fir_dft) — measured 1.1 ms/round on the flagship datapath vs
+    8.8 ms for a per-tap shift-accumulate (the reference's
+    `lfilter(c, 1, x)` per (rx, tx) pair, OFDM_SISO_NBF_LDPC.py:423) and
+    5.3 ms for the shifted-copies batched dot below
+    (tools/profile_datapath.py). The fallback below stacks the isi shifted
+    copies of x ONCE into a (..., T, n_tx*isi) operand and contracts
+    against (..., n_rx, n_tx*isi) in a single batched dot. Complex
+    products via real einsums (axon TPU lacks complex matmul).
     """
     if _FIR_IMPL == "conv":
         return _apply_fir_conv(taps, x)

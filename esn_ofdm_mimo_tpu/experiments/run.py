@@ -41,16 +41,23 @@ def main(argv=None) -> None:
                     help="override the BP check rule (default: preset's; "
                          "sumprod = pyldpc parity, minsum = normalised "
                          "min-sum, ~3x cheaper decode)")
+    ap.add_argument("--ldpc-minsum-scale", type=float, default=None,
+                    help="normalisation scale for --ldpc-algo minsum "
+                         "(default: preset's, 0.75)")
     ap.add_argument("--resume", action="store_true",
                     help="resume from per-SNR checkpoints in outdir")
     args = ap.parse_args(argv)
 
     maybe_init_distributed()
     cfg = get_preset(args.preset, fast=args.fast)
-    if args.ldpc_algo is not None:
+    if args.ldpc_algo is not None or args.ldpc_minsum_scale is not None:
         import dataclasses
-        cfg = dataclasses.replace(
-            cfg, ldpc=dataclasses.replace(cfg.ldpc, algo=args.ldpc_algo))
+        ld = cfg.ldpc
+        if args.ldpc_algo is not None:
+            ld = dataclasses.replace(ld, algo=args.ldpc_algo)
+        if args.ldpc_minsum_scale is not None:
+            ld = dataclasses.replace(ld, minsum_scale=args.ldpc_minsum_scale)
+        cfg = dataclasses.replace(cfg, ldpc=ld)
     outdir = args.outdir or f"results/{cfg.name}"
     blocks = args.blocks_per_snr or cfg.n_blocks
     mesh = trials_mesh()

@@ -48,11 +48,19 @@ def main(argv=None):
     epochs = args.epochs or (60 if args.fast else 200)
     batch = args.batch or (16 if args.fast else 64)
 
+    os.makedirs(args.outdir, exist_ok=True)
+    from ..utils.metrics import MetricsLogger
+    import time
+    log = MetricsLogger(os.path.join(args.outdir, "events.jsonl"))
+    log.log("run_start", frontend=args.frontend, variant=args.variant,
+            blocks=blocks, epochs=epochs, batch=batch)
+    t0 = time.time()
     results = run_classification_experiment(cfg, blocks=blocks, epochs=epochs,
                                             seed=args.seed,
                                             frontend=args.frontend,
                                             batch=batch, variant=args.variant)
-    os.makedirs(args.outdir, exist_ok=True)
+    log.log("run_done", seconds=round(time.time() - t0, 1),
+            outdir=args.outdir)
     models = sorted(next(iter(results.values())).keys())
     ser = {m: [results[e][m]["ser"] for e in sorted(results)] for m in models}
     ber = {m: [results[e][m]["ber"] for e in sorted(results)] for m in models}

@@ -37,6 +37,13 @@ def main(argv=None):
         cfg, ldpc=dataclasses.replace(cfg.ldpc, enabled=False))
     blocks = args.blocks or (4 if args.fast else 16)
 
+    os.makedirs(args.outdir, exist_ok=True)
+    from ..utils.metrics import MetricsLogger
+    import time
+    log = MetricsLogger(os.path.join(args.outdir, "events.jsonl"))
+    log.log("run_start", blocks=blocks, epochs=args.epochs)
+    t0 = time.time()
+
     root = jax.random.PRNGKey(args.seed)
     step = jax.jit(lambda e, k: run_zoo_blocks(cfg, e, k, epochs=args.epochs))
     ber = {}
@@ -49,7 +56,8 @@ def main(argv=None):
         print(f"[2x2] EbNo={ebno:g}: " + " ".join(
             f"{k}={ber[k][-1]:.4g}" for k in sorted(ber)), flush=True)
 
-    os.makedirs(args.outdir, exist_ok=True)
+    log.log("run_done", seconds=round(time.time() - t0, 1),
+            outdir=args.outdir)
     with open(os.path.join(args.outdir, "BERvsEBNo_esn_all_ml_model.pkl"),
               "wb") as f:
         pickle.dump({"EBN0": list(cfg.ebno_db), "BER": ber}, f)

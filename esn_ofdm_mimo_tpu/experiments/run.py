@@ -46,6 +46,10 @@ def main(argv=None) -> None:
                          "(default: preset's, 0.75)")
     ap.add_argument("--resume", action="store_true",
                     help="resume from per-SNR checkpoints in outdir")
+    ap.add_argument("--trace", metavar="DIR", default=None,
+                    help="capture a jax.profiler device trace of the whole "
+                         "curve run into DIR (perfetto/tensorboard format; "
+                         "tracing adds overhead — profiling runs only)")
     args = ap.parse_args(argv)
 
     maybe_init_distributed()
@@ -68,20 +72,22 @@ def main(argv=None) -> None:
             devices=int(mesh.devices.size), L=cfg.ofdm.coherence_symbols)
     t0 = time.time()
     progress = lambda msg: log.log("progress", msg=msg)
-    if cfg.calib.enabled:
-        results = run_cdl_curve(cfg, blocks,
+    from ..utils.metrics import profile_trace
+    with profile_trace(f"curve:{cfg.name}", trace_dir=args.trace):
+        if cfg.calib.enabled:
+            results = run_cdl_curve(cfg, blocks,
+                                    blocks_per_device=args.blocks_per_device,
+                                    mesh=mesh, seed=args.seed, checkpoint=ckpt,
+                                    progress=progress,
+                                    rounds_per_call=args.rounds_per_call)
+            save_cdl_results(outdir, cfg, results)
+        else:
+            res = run_nbf_curve(cfg, blocks,
                                 blocks_per_device=args.blocks_per_device,
                                 mesh=mesh, seed=args.seed, checkpoint=ckpt,
                                 progress=progress,
                                 rounds_per_call=args.rounds_per_call)
-        save_cdl_results(outdir, cfg, results)
-    else:
-        res = run_nbf_curve(cfg, blocks,
-                            blocks_per_device=args.blocks_per_device,
-                            mesh=mesh, seed=args.seed, checkpoint=ckpt,
-                            progress=progress,
-                            rounds_per_call=args.rounds_per_call)
-        save_nbf_results(outdir, cfg, res)
+            save_nbf_results(outdir, cfg, res)
     log.log("run_done", seconds=round(time.time() - t0, 1), outdir=outdir)
 
 

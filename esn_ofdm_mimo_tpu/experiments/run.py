@@ -50,6 +50,10 @@ def main(argv=None) -> None:
                     help="capture a jax.profiler device trace of the whole "
                          "curve run into DIR (perfetto/tensorboard format; "
                          "tracing adds overhead — profiling runs only)")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="dev-mode NaN guard: fail loudly at the first NaN "
+                         "anywhere in the compute path (disables some "
+                         "fusions — debugging runs only)")
     args = ap.parse_args(argv)
 
     maybe_init_distributed()
@@ -72,8 +76,9 @@ def main(argv=None) -> None:
             devices=int(mesh.devices.size), L=cfg.ofdm.coherence_symbols)
     t0 = time.time()
     progress = lambda msg: log.log("progress", msg=msg)
-    from ..utils.metrics import profile_trace
-    with profile_trace(f"curve:{cfg.name}", trace_dir=args.trace):
+    from ..utils.metrics import debug_nan_checks, profile_trace
+    with debug_nan_checks(args.debug_nans), \
+         profile_trace(f"curve:{cfg.name}", trace_dir=args.trace):
         if cfg.calib.enabled:
             results = run_cdl_curve(cfg, blocks,
                                     blocks_per_device=args.blocks_per_device,

@@ -47,3 +47,17 @@ def test_metrics_logger(tmp_path):
     import json
     rec = json.loads(open(p).read().strip())
     assert rec["event"] == "test_event" and rec["a"] == 1
+
+
+def test_debug_nan_checks_guard():
+    """The dev-mode NaN guard raises at the first NaN and restores config."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from esn_ofdm_mimo_tpu.utils.metrics import debug_nan_checks
+
+    prev = jax.config.jax_debug_nans
+    with debug_nan_checks(True):
+        with pytest.raises(FloatingPointError):
+            jax.jit(lambda x: jnp.log(x))(jnp.float32(-1.0)).block_until_ready()
+    assert jax.config.jax_debug_nans == prev

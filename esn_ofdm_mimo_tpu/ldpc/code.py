@@ -191,13 +191,13 @@ def _qc_shift_table(dv: int, dc: int, Z: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed + 7_777_777)
     rows = [(i1, i2) for i1 in range(dv) for i2 in range(i1 + 1, dv)]
 
-    def four_cycle_free(s):
+    def four_cycle_count(s):
+        cnt = 0
         for i1, i2 in rows:
             d = (s[i1] - s[i2]) % Z          # (dc,)
             # a repeated difference across two columns => 4-cycle
-            if len(np.unique(d)) < dc:
-                return False
-        return True
+            cnt += dc - len(np.unique(d))
+        return cnt
 
     def six_cycle_count(s):
         cnt = 0
@@ -213,17 +213,22 @@ def _qc_shift_table(dv: int, dc: int, Z: int, seed: int) -> np.ndarray:
                     cnt += int(tot == 0)
         return cnt
 
-    best, best_cnt = None, None
+    # bounded search: prefer girth >= 6 (zero 4-cycles) with the fewest
+    # 6-cycles; when Z is too small for any 4-cycle-free table (small toy
+    # codes — a fresh difference set per row pair needs Z >= dc and gets
+    # rapidly harder below Z ~ dc^2), fall back to the fewest-short-cycles
+    # candidate instead of searching forever
+    best, best_key = None, None
     tried = 0
-    while tried < 400 or best is None:
+    while tried < 400 or (best_key is not None and best_key[0] > 0
+                          and tried < 20_000):
         s = rng.integers(0, Z, size=(dv, dc), dtype=np.int64)
         tried += 1
-        if not four_cycle_free(s):
-            continue
-        c = six_cycle_count(s)
-        if best_cnt is None or c < best_cnt:
-            best, best_cnt = s, c
-            if c == 0:
+        c4 = four_cycle_count(s)
+        key = (c4, six_cycle_count(s) if c4 == 0 else np.inf)
+        if best_key is None or key < best_key:
+            best, best_key = s, key
+            if key == (0, 0):
                 break
     return best.astype(np.int32)
 

@@ -80,6 +80,12 @@ def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100,
         impl = LDPC_TPU_IMPL
         if impl == "auto":
             impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        if impl == "pallas" and isinstance(max_iter, jax.core.Tracer):
+            # the fused kernel bakes max_iter in statically; a traced cap
+            # (e.g. the NBF pipelines' doubled-below-6dB rule with Eb/N0
+            # traced) routes through the XLA decoder, whose while_loop
+            # accepts a dynamic bound
+            impl = "xla"
         if impl == "pallas":
             from .decode_pallas import ldpc_decode_bp_pallas
             return ldpc_decode_bp_pallas(code, llr, max_iter, algo,

@@ -106,3 +106,27 @@ def test_qc_coded_ber_not_worse_than_gallager():
     # waterfall statistical band: QC's girth-conditioned graph should be
     # at least as good; allow generous sampling slack
     assert errs["qc"] <= errs["gallager"] * 1.5 + 5e-3, errs
+
+
+def test_qc_decode_with_traced_max_iter(monkeypatch):
+    """A traced iteration cap (the NBF doubled-below-6dB rule under a traced
+    Eb/N0) must not crash the QC dispatch — it falls back to the XLA
+    decoder, whose while_loop takes a dynamic bound."""
+    monkeypatch.setenv("LDPC_TPU_IMPL", "pallas")
+    import importlib
+    from esn_ofdm_mimo_tpu.ldpc import decode as dec
+    importlib.reload(dec)
+    try:
+        code = make_qc_ldpc(64)
+        cw = jnp.zeros((3, code.n), jnp.float32)       # all-zero codeword
+        llr = 8.0 * (1.0 - 2.0 * cw)                   # confident zeros
+
+        @jax.jit
+        def f(ebno_db):
+            mi = jnp.where(ebno_db >= 6.0, 10, 20)
+            bits = dec.ldpc_decode_bp(code, llr, mi)
+            return jnp.sum(bits.astype(jnp.int32))
+        assert int(f(jnp.float32(3.0))) == 0
+        assert int(f(jnp.float32(12.0))) == 0
+    finally:
+        importlib.reload(dec)

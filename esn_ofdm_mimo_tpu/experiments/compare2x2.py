@@ -47,12 +47,18 @@ def main(argv=None):
     root = jax.random.PRNGKey(args.seed)
     step = jax.jit(lambda e, k: run_zoo_blocks(cfg, e, k, epochs=args.epochs))
     ber = {}
+    nmse_train, nmse_test = {}, {}
     for jj, ebno in enumerate(cfg.ebno_db):
         keys = block_keys(root, jj, jnp.arange(blocks, dtype=jnp.uint32))
         out = step(jnp.float32(ebno), keys)
         tot = float(out.total_bits)
+        nb = max(float(out.n_blocks), 1.0)
         for k, v in out.bit_errors.items():
             ber.setdefault(k, []).append(float(v) / tot)
+        for k, v in out.train_nmse.items():
+            nmse_train.setdefault(k, []).append(float(v) / nb)
+        for k, v in out.test_nmse.items():
+            nmse_test.setdefault(k, []).append(float(v) / nb)
         print(f"[2x2] EbNo={ebno:g}: " + " ".join(
             f"{k}={ber[k][-1]:.4g}" for k in sorted(ber)), flush=True)
 
@@ -61,6 +67,11 @@ def main(argv=None):
     with open(os.path.join(args.outdir, "BERvsEBNo_esn_all_ml_model.pkl"),
               "wb") as f:
         pickle.dump({"EBN0": list(cfg.ebno_db), "BER": ber}, f)
+    # per-model train/test NMSE bookkeeping, the reference's NMSE_compare.pkl
+    # (Demo_MIMO_2x2_all_DL_model_comparion.py:577-598)
+    with open(os.path.join(args.outdir, "NMSE_compare.pkl"), "wb") as f:
+        pickle.dump({"EBN0": list(cfg.ebno_db),
+                     "NMSE_train": nmse_train, "NMSE_test": nmse_test}, f)
     try:
         import matplotlib
         matplotlib.use("Agg")

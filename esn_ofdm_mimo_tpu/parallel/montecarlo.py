@@ -291,10 +291,10 @@ def make_sharded_cdl_steps(cfg: SimConfig, mesh):
     return cal, dec
 
 
-def make_fused_cdl_snr_step(cfg: SimConfig, mesh, cal_rounds: int,
-                            dec_rounds: int):
+def make_fused_cdl_snr_step(cfg: SimConfig, mesh):
     """ONE dispatch per SNR point: cal rounds + calibrator fit + decode
-    rounds, all inside a single jitted program.
+    rounds, all inside a single jitted program. The round counts are set by
+    the shapes of the key arrays passed to the returned step.
 
     The axon relay adds heavy-tailed seconds-scale latency per
     dispatch+sync (docs/ENVIRONMENT.md); the previous per-SNR sequence of
@@ -340,8 +340,16 @@ def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
     n_dev = mesh.devices.size
     G = n_dev * blocks_per_device
     rounds = max(1, -(-blocks_per_snr // G))
-    cal_rounds = max(1, round(rounds * cfg.calib.cal_fraction))
+    # cal + dec rounds total exactly `rounds` when rounds >= 2; a 1-round
+    # budget cannot host both phases, so it is bumped to 1 + 1 — loudly.
+    cal_rounds = min(max(1, round(rounds * cfg.calib.cal_fraction)),
+                     max(rounds - 1, 1))
     dec_rounds = max(1, rounds - cal_rounds)
+    if cal_rounds + dec_rounds != rounds and progress is not None:
+        progress(f"[cdl] blocks_per_snr={blocks_per_snr} gives a single "
+                 f"{G}-block round; the calibrated pipeline needs separate "
+                 f"cal+decode rounds, so {cal_rounds + dec_rounds} rounds "
+                 f"({(cal_rounds + dec_rounds) * G} blocks/SNR) will run")
     seed = cfg.seed if seed is None else seed
     root = jax.random.PRNGKey(seed)
 
@@ -352,7 +360,7 @@ def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
     max_rd = max(1, int(1.9e9 // (G * bpb)))
     rd_fused = min(dec_rounds, max_rd)
     rd_extra = dec_rounds - rd_fused
-    snr_step = make_fused_cdl_snr_step(cfg, mesh, cal_rounds, rd_fused)
+    snr_step = make_fused_cdl_snr_step(cfg, mesh)
     dec_step = None
     if rd_extra:
         _, dec_step = make_sharded_cdl_steps(cfg, mesh)

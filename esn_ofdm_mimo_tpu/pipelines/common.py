@@ -116,14 +116,19 @@ def _link_budget(cfg: SimConfig, ebno_db):
     return var_x, pi, jnp.sqrt(pi), clip_amplitude(var_x, cfg.pa.clip_level_db)
 
 
-def synth_block(cfg: SimConfig, ebno_db, bkeys, esn_over=None) -> BlockState:
+def synth_block(cfg: SimConfig, ebno_db, bkeys, esn_over=None,
+                return_pilot: bool = False):
     """Simulate the coherence-block head for a batch of B blocks:
     channel draw, pilot synthesis, channel estimation, ESN training
     (reference OFDM_SISO_NBF_LDPC.py:270-384). bkeys: (B,) per-block keys.
 
     esn_over: optional dict of *traced* ESN hyperparameter overrides
     (spectral_radius / sparsity / noise / input_scaler / teacher_scaling) —
-    lets hyperparameter sweeps reuse one compiled program per sweep."""
+    lets hyperparameter sweeps reuse one compiled program per sweep.
+    return_pilot: also return the pilot waveforms (y_cp, x_cp) so callers
+    that train extra per-block models on the pilot (pipelines/zoo2x2) do not
+    re-run the pilot TX/RX chain. Returns BlockState, or
+    (BlockState, (y_cp, x_cp)) when return_pilot."""
     ofdm, esn_cfg = cfg.ofdm, cfg.esn
     N, cp, isi = ofdm.n_subcarriers, ofdm.cp_len, ofdm.isi_duration
     n_tx, n_rx = cfg.channel.n_tx, cfg.channel.n_rx
@@ -200,9 +205,12 @@ def synth_block(cfg: SimConfig, ebno_db, bkeys, esn_over=None) -> BlockState:
         Wt_out_f = train_mimo_esn(res, scale_f, y_cp_f, x_cp_f, delay, cp,
                                   fold_key(bkeys[0], _K_ESNFIT_F))
 
-    return BlockState(taps=taps, H_true=H_true, H_ls=H_ls, H_mmse=H_mmse,
-                      reservoir=res, scale_m=scale_m, scale_f=scale_f,
-                      Wt_out_m=Wt_out_m, Wt_out_f=Wt_out_f)
+    state = BlockState(taps=taps, H_true=H_true, H_ls=H_ls, H_mmse=H_mmse,
+                       reservoir=res, scale_m=scale_m, scale_f=scale_f,
+                       Wt_out_m=Wt_out_m, Wt_out_f=Wt_out_f)
+    if return_pilot:
+        return state, (y_cp, x_cp)
+    return state
 
 
 class DataSymbols(NamedTuple):
@@ -216,11 +224,15 @@ def detect_data_symbols(cfg: SimConfig, state: BlockState, ebno_db, bkeys,
                         code_bits: jnp.ndarray,
                         detectors: Tuple[str, ...] = (
                             "esn", "esn_fixed", "zf_perfect", "zf_ls", "mmse"),
-                        ) -> DataSymbols:
+                        return_td: bool = False):
     """Run D data symbols through TX -> channel -> all detectors.
 
     code_bits: (B, D, n_tx, N*m) bits already produced (coded or raw).
     Reference data path: OFDM_SISO_NBF_LDPC.py:387-460.
+    return_td: also return the time-domain waveforms (y_cp, x_cp) — used by
+    pipelines/zoo2x2 to feed the extra per-block models without re-running
+    the TX/channel chain. Returns DataSymbols, or
+    (DataSymbols, (y_cp, x_cp)) when return_td.
     """
     ofdm = cfg.ofdm
     N, cp, m = ofdm.n_subcarriers, ofdm.cp_len, ofdm.bits_per_symbol
@@ -268,7 +280,10 @@ def detect_data_symbols(cfg: SimConfig, state: BlockState, ebno_db, bkeys,
         X_hat["mmse"] = apply_equalizer(We, Y, sqrt_pi)
 
     X_true = jnp.moveaxis(X, -2, -1)                     # (B, D, N, n_tx)
-    return DataSymbols(X_true=X_true, Y=Y, X_hat=X_hat)
+    data = DataSymbols(X_true=X_true, Y=Y, X_hat=X_hat)
+    if return_td:
+        return data, (y_cp, x_cp)
+    return data
 
 
 def data_bits_for_blocks(cfg: SimConfig, bkeys, n_data: int, code=None):

@@ -137,8 +137,7 @@ def test_cdl_fused_snr_step_layout_invariant():
 
     outs = {}
     for n_dev in (1, 8):
-        step = make_fused_cdl_snr_step(cfg, trials_mesh(n_dev),
-                                       cal_rounds=1, dec_rounds=1)
+        step = make_fused_cdl_snr_step(cfg, trials_mesh(n_dev))
         outs[n_dev] = step(jnp.float32(12.0), ckeys, dkeys)
 
     (e1, t1, d1, c1), (e8, t8, d8, c8) = outs[1], outs[8]

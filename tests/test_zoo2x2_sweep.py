@@ -35,6 +35,16 @@ def test_zoo_pipeline_all_detectors():
         assert v < 0.55, (k, v)
     assert ber["zf_perfect"] < 0.3
     assert ber["elm"] < 0.45
+    # train/test NMSE bookkeeping (reference NMSE_compare.pkl): all five
+    # trained models report finite positive sums, and the closed-form
+    # ELM/ESN fit the pilot at least as well as the data symbols
+    nb = float(out.n_blocks)
+    for table in (out.train_nmse, out.test_nmse):
+        assert set(table) == {"esn", "cnn", "rnn", "fnn", "elm"}
+        for k, v in table.items():
+            val = float(v) / nb
+            assert 0.0 < val < 1e4 and np.isfinite(val), (k, val)
+    assert float(out.train_nmse["elm"]) <= float(out.test_nmse["elm"]) * 1.5
 
 
 def test_sweep_driver_one_point():

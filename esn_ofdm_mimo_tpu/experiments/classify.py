@@ -55,10 +55,10 @@ def main(argv=None):
     log.log("run_start", frontend=args.frontend, variant=args.variant,
             blocks=blocks, epochs=epochs, batch=batch)
     t0 = time.time()
-    results = run_classification_experiment(cfg, blocks=blocks, epochs=epochs,
-                                            seed=args.seed,
-                                            frontend=args.frontend,
-                                            batch=batch, variant=args.variant)
+    results, scatter = run_classification_experiment(
+        cfg, blocks=blocks, epochs=epochs, seed=args.seed,
+        frontend=args.frontend, batch=batch, variant=args.variant,
+        collect_scatter=True)
     log.log("run_done", seconds=round(time.time() - t0, 1),
             outdir=args.outdir)
     models = sorted(next(iter(results.values())).keys())
@@ -103,23 +103,28 @@ def main(argv=None):
             fig.savefig(os.path.join(args.outdir, f"{name}_vs_snr.png"), dpi=150)
             plt.close(fig)
 
-        # constellation scatter of equalized symbols at the top SNR
-        from ..pipelines.classification import make_equalized_dataset
-        from ..utils.rng import block_keys
-        keys = block_keys(jax.random.PRNGKey(args.seed), 99,
-                          jnp.arange(1, dtype=jnp.uint32))
-        ds = jax.jit(lambda e, k: make_equalized_dataset(cfg, e, k))(
-            jnp.float32(ebnos[-1]), keys)
-        pts = np.asarray(ds.x[:4000])
-        lab = np.asarray(ds.labels[:4000])
-        fig = plt.figure(figsize=(6, 6))
-        plt.scatter(pts[:, 0], pts[:, 1], c=lab, s=4, cmap="tab20", alpha=0.6)
-        plt.title(f"Equalized symbols @ {ebnos[-1]:g} dB")
-        plt.xlabel("Re")
-        plt.ylabel("Im")
-        fig.savefig(os.path.join(args.outdir, "constellation_scatter.png"),
-                    dpi=150)
-        plt.close(fig)
+        # constellation scatters at the top SNR: one of the true labels,
+        # plus one per model colored by its *predicted* class (the
+        # reference's per-model scatters, esn_via_cdl_all_model.py:400-437)
+        pts = scatter["x"][:4000]
+        e_top = scatter["ebno_db"]
+
+        def _scatter_png(colors, title, fname):
+            fig = plt.figure(figsize=(6, 6))
+            plt.scatter(pts[:, 0], pts[:, 1], c=colors[:4000], s=4,
+                        cmap="tab20", alpha=0.6)
+            plt.title(title)
+            plt.xlabel("Re")
+            plt.ylabel("Im")
+            fig.savefig(os.path.join(args.outdir, fname), dpi=150)
+            plt.close(fig)
+
+        _scatter_png(scatter["labels"],
+                     f"Equalized symbols (true labels) @ {e_top:g} dB",
+                     "constellation_scatter.png")
+        for mname, pred in scatter["preds"].items():
+            _scatter_png(pred, f"{mname} predictions @ {e_top:g} dB",
+                         f"constellation_{mname}.png")
     except Exception as e:  # plotting is best-effort
         print(f"[warn] plotting failed: {e}")
 

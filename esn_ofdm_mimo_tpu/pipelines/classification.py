@@ -159,17 +159,25 @@ def train_and_evaluate_zoo(cfg: SimConfig, train: SymbolDataset,
                            test: SymbolDataset, key,
                            epochs: int = 200,
                            gray: bool = False,
-                           variant: str = "wide") -> Dict[str, Dict[str, float]]:
+                           variant: str = "wide",
+                           collect_preds: bool = False):
     """Train all seven detectors, return {model: {ser, ber}} on the test set
     (reference SER/BER tables, esn_via_cdl_all_model.py:453-472).
 
     gray=True evaluates against the system-model-1 label convention
     (Gray/Sionna constellation, MSB-first bit labels). variant selects the
-    reference's baseline widths (ZOO_VARIANTS)."""
+    reference's baseline widths (ZOO_VARIANTS). collect_preds=True also
+    returns {model: predicted test indices} (numpy) for the reference's
+    per-model constellation scatters (esn_via_cdl_all_model.py:400-437)."""
     widths = ZOO_VARIANTS[variant]
     m = cfg.ofdm.bits_per_symbol
     n_classes = 2 ** m
     results = {}
+    preds: Dict[str, np.ndarray] = {}
+
+    def _keep(name, idx):
+        if collect_preds:
+            preds[name] = np.asarray(idx, dtype=np.int32)
 
     # traditional nearest-point demapper (jitted as one program: eager
     # complex ops would hit the axon backend's unimplemented c64 transfers)
@@ -178,18 +186,21 @@ def train_and_evaluate_zoo(cfg: SimConfig, train: SymbolDataset,
         z = x[:, 0] + 1j * x[:, 1]
         idx = (hard_demap_index_gray(z, m) if gray
                else clf.traditional_demap(z, m))
-        return _ser_ber(idx, labels, m, msb=gray)
+        return idx, *_ser_ber(idx, labels, m, msb=gray)
 
-    ser, ber = _trad(test.x, test.labels, m, gray)
+    idx, ser, ber = _trad(test.x, test.labels, m, gray)
     results["traditional"] = {"ser": float(ser), "ber": float(ber)}
+    _keep("traditional", idx)
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 5))
     def _pred_eval(apply_fn, params, x, m, labels, msb):
         pred = jnp.argmax(apply_fn(params, x), axis=-1)
-        return _ser_ber(pred, labels, m, msb=msb)
+        return pred, *_ser_ber(pred, labels, m, msb=msb)
 
-    def eval_logits(apply_fn, params):
-        ser, ber = _pred_eval(apply_fn, params, test.x, m, test.labels, gray)
+    def eval_logits(name, apply_fn, params):
+        pred, ser, ber = _pred_eval(apply_fn, params, test.x, m,
+                                    test.labels, gray)
+        _keep(name, pred)
         return {"ser": float(ser), "ber": float(ber)}
 
     # ESN single-step (random features + trained softmax readout); the
@@ -205,7 +216,8 @@ def train_and_evaluate_zoo(cfg: SimConfig, train: SymbolDataset,
     tr = train_classifier(clf.esn_classifier_apply_full, esn_params,
                           train.x, train.labels, epochs=10 * epochs, lr=1e-2,
                           l2=5e-5, l2_keys=("W_out",))
-    results["esn"] = eval_logits(clf.esn_classifier_apply_full, tr.params)
+    results["esn"] = eval_logits("esn", clf.esn_classifier_apply_full,
+                                 tr.params)
     results["esn"]["params"] = count_params(clf.esn_classifier_trainable(p_esn))
 
     # DeepESN (random features -> trainable ReLU head)
@@ -215,7 +227,8 @@ def train_and_evaluate_zoo(cfg: SimConfig, train: SymbolDataset,
     tr = train_classifier(clf.deep_esn_apply_full, desn_params,
                           train.x, train.labels, epochs=5 * epochs, lr=3e-3,
                           l2=5e-5, l2_keys=("hidden",))
-    results["deep_esn"] = eval_logits(clf.deep_esn_apply_full, tr.params)
+    results["deep_esn"] = eval_logits("deep_esn", clf.deep_esn_apply_full,
+                                      tr.params)
     results["deep_esn"]["params"] = count_params(p_desn.hidden)
 
     # FNN / CNN / RNN at the variant's widths
@@ -233,29 +246,33 @@ def train_and_evaluate_zoo(cfg: SimConfig, train: SymbolDataset,
         params = init_fn(kk, n_classes=n_classes)
         tr = train_classifier(apply_fn, params, train.x, train.labels,
                               epochs=epochs)
-        results[name] = eval_logits(apply_fn, tr.params)
+        results[name] = eval_logits(name, apply_fn, tr.params)
         results[name]["params"] = count_params(params)
 
     # ELM closed form (fit + eval in one jitted program)
     @functools.partial(jax.jit, static_argnums=(4, 5, 7))
     def _elm_fit_eval(p0, xtr, ytr, xte, n_classes, m, yte, msb):
         p = clf.elm_fit_classifier(p0, xtr, ytr, n_classes)
-        return _ser_ber(clf.elm_classifier_predict(p, xte), yte, m, msb=msb)
+        idx = clf.elm_classifier_predict(p, xte)
+        return idx, *_ser_ber(idx, yte, m, msb=msb)
 
     p_elm0 = clf.elm_classifier_init(k6, n_hidden=600, n_classes=n_classes)
-    ser, ber = _elm_fit_eval(p_elm0, train.x, train.labels, test.x,
-                             n_classes, m, test.labels, gray)
+    idx, ser, ber = _elm_fit_eval(p_elm0, train.x, train.labels, test.x,
+                                  n_classes, m, test.labels, gray)
     results["elm"] = {"ser": float(ser), "ber": float(ber),
                       "params": count_params(p_elm0.W2)}
+    _keep("elm", idx)
 
+    if collect_preds:
+        return results, preds
     return results
 
 
 def run_classification_experiment(cfg: SimConfig, blocks: int = 8,
                                   epochs: int = 200, seed: int = 0,
                                   frontend: str = "sm1", batch: int = 64,
-                                  variant: str = "wide"
-                                  ) -> Dict[float, Dict[str, Dict[str, float]]]:
+                                  variant: str = "wide",
+                                  collect_scatter: bool = False):
     """Full SER/BER-vs-SNR sweep of the classifier zoo.
 
     frontend="sm1" (default) reproduces the reference's Sionna operating
@@ -263,11 +280,17 @@ def run_classification_experiment(cfg: SimConfig, blocks: int = 8,
     the reference's batch_size_sim=64). frontend="sm2" keeps the original
     deviation: this framework's own comb-pilot CDL link as the dataset
     source (`blocks` coherence blocks per SNR).
+
+    collect_scatter=True also returns the top-SNR test set and each model's
+    predicted indices on it (for the reference's per-model colored
+    constellation scatters, esn_via_cdl_all_model.py:400-437):
+    returns (results, {"ebno_db", "x", "labels", "preds"}).
     """
     from ..utils.rng import block_keys
     root = jax.random.PRNGKey(seed)
     gray = frontend == "sm1"
     out = {}
+    scatter = None
     sm1_builder = jax.jit(functools.partial(
         make_equalized_dataset_sm1, batch=batch,
         bits_per_symbol=cfg.ofdm.bits_per_symbol))
@@ -280,8 +303,18 @@ def run_classification_experiment(cfg: SimConfig, blocks: int = 8,
                 jnp.float32(ebno), bkeys)
         ktr = fold_key(root, 77, jj)
         train, test = split_dataset(ds, ktr)
-        out[float(ebno)] = train_and_evaluate_zoo(cfg, train, test,
-                                                  fold_key(root, 88, jj),
-                                                  epochs=epochs, gray=gray,
-                                                  variant=variant)
+        last = collect_scatter and jj == len(cfg.ebno_db) - 1
+        res = train_and_evaluate_zoo(cfg, train, test,
+                                     fold_key(root, 88, jj),
+                                     epochs=epochs, gray=gray,
+                                     variant=variant, collect_preds=last)
+        if last:
+            res, preds = res
+            scatter = {"ebno_db": float(ebno),
+                       "x": np.asarray(test.x),
+                       "labels": np.asarray(test.labels, dtype=np.int32),
+                       "preds": preds}
+        out[float(ebno)] = res
+    if collect_scatter:
+        return out, scatter
     return out

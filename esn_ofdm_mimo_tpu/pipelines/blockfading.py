@@ -23,7 +23,12 @@ _DETECTORS = ("esn", "esn_fixed", "zf_perfect", "zf_ls", "mmse")
 
 # fixed log10 histogram bins for condition numbers (percentiles computed on
 # the aggregated histogram at reporting time; psum-able unlike percentiles)
-COND_BINS = jnp.asarray([10.0 ** (i / 8.0) for i in range(0, 49)])
+# numpy on purpose: a module-level jnp array would initialise the XLA
+# backend at import time, which breaks jax.distributed.initialize()
+# (it must run before any backend use — tests/distributed_worker.py)
+import numpy as _np  # noqa: E402
+COND_BINS = _np.asarray([10.0 ** (i / 8.0) for i in range(0, 49)],
+                        dtype=_np.float32)
 
 
 class NbfCounts(NamedTuple):

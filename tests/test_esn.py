@@ -84,6 +84,23 @@ def test_fit_matches_pinv_oracle():
     assert rel < 2e-3
 
 
+def test_fit_pinv_mode_matches_numpy_pinv(monkeypatch):
+    """ESN_TPU_READOUT=pinv is the reference-faithful ablation readout:
+    unregularised SVD pseudo-inverse exactly like pyESN.fit (pyESN.py:191).
+    It must track the float64 numpy-pinv oracle at least as closely as the
+    production ridge solver."""
+    from esn_ofdm_mimo_tpu.models import esn as esn_mod
+    res, scale, oracle, X, D = _mk()
+    W_out_o = oracle.fit(X, D, n_forget=10)
+    monkeypatch.setattr(esn_mod, "_READOUT_IMPL", "pinv")
+    Wt_out = esn_fit(res, scale, jnp.asarray(X, jnp.float32)[None],
+                     jnp.asarray(D, jnp.float32)[None], 10,
+                     jax.random.PRNGKey(0))
+    rel = (np.linalg.norm(np.asarray(Wt_out[0]).T - W_out_o)
+           / np.linalg.norm(W_out_o))
+    assert rel < 2e-3, rel
+
+
 def test_predict_matches_oracle():
     res, scale, oracle, X, D = _mk()
     oracle.fit(X, D, n_forget=10)

@@ -35,7 +35,14 @@ os.environ.setdefault(
 import numpy as np
 
 
-def _bench_tpu(n_blocks: int = 128, rounds: int = 64, iters: int = 3) -> float:
+# v5e peak dense matmul throughput (bf16 MXU): 197 TFLOP/s. The data path
+# runs matmuls at precision "high" (3-pass bf16 passes, validated BER-neutral)
+# so achieved-FLOP/s is computed against the raw bf16 peak — the honest
+# "speed of light" denominator (SURVEY.md §5 roofline accounting).
+V5E_PEAK_FLOPS = 197e12
+
+
+def _bench_tpu(n_blocks: int = 128, rounds: int = 64, iters: int = 3):
     """n_blocks=128 sits at the measured per-chunk throughput plateau on v5e
     (8 -> 15.5k, 32 -> 35.8k, 64 -> 45.7k, 128 -> 86.8k symbols/s after the
     precision split). `rounds` chunks are lax.scan'd inside ONE dispatch:
@@ -81,7 +88,50 @@ def _bench_tpu(n_blocks: int = 128, rounds: int = 64, iters: int = 3) -> float:
         jax.device_get(step(ebno, keys_for(i + 1)))
         best = min(best, time.perf_counter() - t0)
     symbols = rounds * n_blocks * (D + 1)  # pilot + data symbols per block
-    return symbols / best
+    return symbols / best, best, symbols
+
+
+def _bench_tpu_e2e(n_blocks: int = 128, cal_rounds: int = 2,
+                   dec_rounds: int = 6, iters: int = 2):
+    """Decode-inclusive throughput: ONE fused dispatch per SNR point running
+    calibration rounds + per-bit logistic calibrator fit + LDPC-decoded
+    rounds (make_fused_cdl_snr_step) — the full flagship SNR-point program
+    (reference Demo_MIMO_4x8_Sionna_CDL_ESN_v2.py:483-511), so the headline
+    detection metric cannot be read as cherry-picked. cal:dec = 2:6 mirrors
+    the production cal_fraction ~0.3 (config.CalibConfig); larger cal-round
+    counts at 128 blocks exceed HBM (the fused program keeps
+    cal_rounds*B*D*n_tx*N*m LLRs for both detectors resident for the fit)."""
+    import jax
+    import jax.numpy as jnp
+    from esn_ofdm_mimo_tpu.experiments.presets import mimo_4x8_cdl
+    from esn_ofdm_mimo_tpu.parallel.mesh import trials_mesh
+    from esn_ofdm_mimo_tpu.parallel.montecarlo import make_fused_cdl_snr_step
+    from esn_ofdm_mimo_tpu.utils.rng import block_keys
+
+    cfg = mimo_4x8_cdl()
+    D = cfg.data_symbols_per_block
+    mesh = trials_mesh()
+    step = make_fused_cdl_snr_step(cfg, mesh)
+    root = jax.random.PRNGKey(0)
+    R = cal_rounds + dec_rounds
+
+    def keys_for(i):
+        ids = jnp.arange(i * R * n_blocks, (i + 1) * R * n_blocks,
+                         dtype=jnp.uint32)
+        keys = block_keys(root, 1, ids).reshape(R, n_blocks, -1)
+        return keys[:cal_rounds], keys[cal_rounds:]
+
+    ebno = jnp.float32(12.0)
+    ck, dk = keys_for(0)
+    jax.device_get(step(ebno, ck, dk))
+    best = float("inf")
+    for i in range(iters):
+        ck, dk = keys_for(i + 1)
+        t0 = time.perf_counter()
+        jax.device_get(step(ebno, ck, dk))
+        best = min(best, time.perf_counter() - t0)
+    symbols = R * n_blocks * (D + 1)
+    return symbols / best, best, symbols
 
 
 def _bench_numpy_reference(n_data_symbols: int = 3) -> float:
@@ -132,12 +182,38 @@ def main() -> None:
         base = _bench_numpy_reference()
         json.dump({"numpy_symbols_per_s": base}, open(cache, "w"))
 
-    tpu = _bench_tpu()
+    n_blocks, rounds = 128, 64
+    cal_r, dec_r = 2, 6
+
+    # MFU/roofline (SURVEY.md §5): analytic FLOPs of the executed programs
+    # (utils/flops.py — explicit per-kernel counts; XLA's cost_analysis is
+    # unusable here, it counts scan bodies once) over the best-dispatch wall
+    # time, against the v5e bf16 MXU peak.
+    from esn_ofdm_mimo_tpu.experiments.presets import mimo_4x8_cdl
+    from esn_ofdm_mimo_tpu.utils.flops import calib_fit_flops, cdl_flops
+    cfg = mimo_4x8_cdl()
+    fl = cdl_flops(cfg, n_blocks)
+    D = cfg.data_symbols_per_block
+    cal_samples = cal_r * n_blocks * D * cfg.channel.n_tx * cfg.ofdm.n_subcarriers
+    f_fit = calib_fit_flops(cfg.ofdm.bits_per_symbol, cal_samples,
+                            cfg.calib.gd_steps)
+
+    tpu, t_detect, sym_detect = _bench_tpu(n_blocks, rounds)
+    e2e, t_e2e, _ = _bench_tpu_e2e(n_blocks, cal_r, dec_r)
+
+    f_detect = fl.cal_counters * rounds
+    f_e2e = fl.cal_full * cal_r + f_fit + fl.decode_blocks * dec_r
+    mfu_detect = f_detect / t_detect / V5E_PEAK_FLOPS
+    mfu_e2e = f_e2e / t_e2e / V5E_PEAK_FLOPS
     print(json.dumps({
         "metric": "cdl_4x8_detected_symbols_per_s_per_chip",
         "value": round(tpu, 2),
         "unit": "symbols/s",
         "vs_baseline": round(tpu / base, 2),
+        "e2e_decoded_symbols_per_s": round(e2e, 2),
+        "mfu_detect": round(mfu_detect, 4),
+        "mfu_e2e": round(mfu_e2e, 4),
+        "flops_per_detected_symbol": round(f_detect / sym_detect, 0),
     }))
 
 

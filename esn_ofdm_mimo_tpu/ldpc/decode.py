@@ -58,7 +58,7 @@ def _leave_one_out_prod(t: jnp.ndarray) -> jnp.ndarray:
 
 def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100,
                    algo: str = "sumprod", minsum_scale: float = 0.75,
-                   return_stats: bool = False):
+                   return_stats: bool = False, max_iter_bound=None):
     """Decode B codewords. llr (B, n) channel LLRs (positive <=> bit 0).
 
     algo="sumprod" reproduces pyldpc's tanh-rule updates (the parity
@@ -80,16 +80,23 @@ def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100,
         impl = LDPC_TPU_IMPL
         if impl == "auto":
             impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
-        if impl == "pallas" and isinstance(max_iter, jax.core.Tracer):
-            # the fused kernel bakes max_iter in statically; a traced cap
-            # (e.g. the NBF pipelines' doubled-below-6dB rule with Eb/N0
-            # traced) routes through the XLA decoder, whose while_loop
-            # accepts a dynamic bound
-            impl = "xla"
+        iter_cap = None
+        if isinstance(max_iter, jax.core.Tracer):
+            # the fused kernel bakes its trip count in statically; a traced
+            # iteration budget (the NBF pipelines' doubled-below-6dB rule
+            # with Eb/N0 traced) runs as a runtime cap inside a kernel
+            # compiled at the static `max_iter_bound` worst case. Without a
+            # bound, fall back to the XLA decoder, whose while_loop accepts
+            # a dynamic bound directly.
+            if impl == "pallas" and max_iter_bound is not None:
+                iter_cap, max_iter = max_iter, int(max_iter_bound)
+            else:
+                impl = "xla"
         if impl == "pallas":
             from .decode_pallas import ldpc_decode_bp_pallas
             return ldpc_decode_bp_pallas(code, llr, max_iter, algo,
-                                         minsum_scale, return_stats)
+                                         minsum_scale, return_stats,
+                                         iter_cap=iter_cap)
         # XLA path on the identical full QC graph, in natural column order
         llr_nat = llr[:, jnp.asarray(code.qc.inv_perm)]
         out = _decode_bp_graph(jnp.asarray(code.qc.ck_cols_nat),

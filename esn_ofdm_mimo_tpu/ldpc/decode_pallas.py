@@ -58,11 +58,20 @@ def _roll(x: jnp.ndarray, s: int, Z: int) -> jnp.ndarray:
 
 def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
                minsum_scale: float):
-    """Build the kernel body with all structure baked in statically."""
+    """Build the kernel body with all structure baked in statically.
+
+    `max_iter` is the STATIC trip count the kernel compiles with; the
+    `cap_ref` SMEM scalar is a runtime iteration cap <= max_iter, so one
+    compiled kernel serves traced per-SNR iteration budgets (the NBF
+    pipelines double the cap below 6 dB with Eb/N0 traced,
+    pipelines/blockfading.py; reference DEC_MAXITER rule
+    OFDM_SISO_NBF_LDPC.py:196). Iterations past the cap are skipped by the
+    same predication that implements per-tile convergence early exit."""
     shifts = [[int(shifts[i][j]) for j in range(dc)] for i in range(dv)]
 
-    def kernel(lc_ref, bits_ref, stats_ref, r_ref):
+    def kernel(lc_ref, cap_ref, bits_ref, stats_ref, r_ref):
         one = jnp.ones((Z, W), jnp.float32)
+        cap = cap_ref[0]
 
         def lc(j):
             return lc_ref[j * Z:(j + 1) * Z, :]
@@ -102,7 +111,8 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
         # --- iteration 0: zero messages, channel-only decision -------------
         r_ref[...] = jnp.zeros((dv, dc, Z, W), jnp.float32)
         stats_ref[...] = jnp.zeros((8, W), jnp.float32)
-        stats_ref[0:1, :] = jnp.full((1, W), float(max_iter), jnp.float32)
+        # unconverged lanes report the *effective* iteration budget
+        stats_ref[0:1, :] = jnp.full((1, W), 1.0, jnp.float32) * cap.astype(jnp.float32)
         d0, ok0 = decide_and_check()
         freeze(d0, ok0, 0.0)
 
@@ -110,7 +120,7 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
         def body(it, carry):
             all_done = jnp.min(stats_ref[1:2, :]) > 0.5
 
-            @pl.when(jnp.logical_not(all_done))
+            @pl.when(jnp.logical_not(all_done) & (it < cap))
             def _iter():
                 # variable update (var-major, contiguous)
                 Ltot = [lc(j) + r_sum(j) for j in range(dc)]
@@ -169,9 +179,9 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
-def _decode_padded(shape_key, lc_nat_T: jnp.ndarray, max_iter: int,
-                   algo: str, minsum_scale: float, qc_static):
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+def _decode_padded(shape_key, lc_nat_T: jnp.ndarray, iter_cap: jnp.ndarray,
+                   max_iter: int, algo: str, minsum_scale: float, qc_static):
     Z, dv, dc, shifts = qc_static
     n, Bp = lc_nat_T.shape
     kernel = _bp_kernel(Z, dv, dc, shifts, max_iter, algo, minsum_scale)
@@ -179,7 +189,8 @@ def _decode_padded(shape_key, lc_nat_T: jnp.ndarray, max_iter: int,
         kernel,
         grid=(Bp // W,),
         in_specs=[pl.BlockSpec((n, W), lambda w: (0, w),
-                               memory_space=pltpu.VMEM)],
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(pl.BlockSpec((n, W), lambda w: (0, w),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((8, W), lambda w: (0, w),
@@ -187,18 +198,22 @@ def _decode_padded(shape_key, lc_nat_T: jnp.ndarray, max_iter: int,
         out_shape=(jax.ShapeDtypeStruct((n, Bp), jnp.float32),
                    jax.ShapeDtypeStruct((8, Bp), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((dv, dc, Z, W), jnp.float32)],
-    )(lc_nat_T)
+    )(lc_nat_T, iter_cap)
     return bits_T, stats
 
 
 def ldpc_decode_bp_pallas(code: LdpcCode, llr: jnp.ndarray,
                           max_iter: int = 100, algo: str = "sumprod",
                           minsum_scale: float = 0.75,
-                          return_stats: bool = False):
+                          return_stats: bool = False,
+                          iter_cap=None):
     """Drop-in fast path for ldpc_decode_bp on QC codes (TPU backends).
 
     llr (B, n) channel LLRs in pipeline bit order; returns hard bits (B, n)
     int8 (+ the same stats dict as the XLA decoder when return_stats).
+    `max_iter` must be a static int (the compiled trip count); `iter_cap`
+    may be a TRACED scalar <= max_iter limiting the executed iterations —
+    the NBF pipelines' per-SNR doubled budget rides one compiled kernel.
     """
     qc = code.qc
     assert qc is not None, "pallas decoder requires a QC code (make_qc_ldpc)"
@@ -209,8 +224,10 @@ def ldpc_decode_bp_pallas(code: LdpcCode, llr: jnp.ndarray,
     lc_T = jax.lax.dynamic_update_slice(lc_T, lc_nat.T, (0, 0))
     qc_static = (int(qc.Z), int(code.dv), int(code.dc),
                  tuple(tuple(int(s) for s in row) for row in qc.shifts))
-    bits_T, stats = _decode_padded(None, lc_T, int(max_iter), algo,
-                                   float(minsum_scale), qc_static)
+    cap = max_iter if iter_cap is None else iter_cap
+    cap = jnp.minimum(jnp.asarray(cap, jnp.int32), jnp.int32(max_iter))
+    bits_T, stats = _decode_padded(None, lc_T, cap.reshape(1), int(max_iter),
+                                   algo, float(minsum_scale), qc_static)
     bits_nat = bits_T[:, :B].T                       # (B, n) natural order
     bits = bits_nat[:, jnp.asarray(qc.perm)].astype(jnp.int8)
     if return_stats:

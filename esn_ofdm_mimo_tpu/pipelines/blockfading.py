@@ -109,7 +109,8 @@ def run_nbf_blocks(cfg: SimConfig, ebno_db, bkeys,
             d_hat, st = ldpc_decode_bp(code, Lc.reshape(-1, N * m), max_iter,
                                        algo=cfg.ldpc.algo,
                                        minsum_scale=cfg.ldpc.minsum_scale,
-                                       return_stats=True)
+                                       return_stats=True,
+                                       max_iter_bound=2 * cfg.ldpc.max_iter)
             u_hat = d_hat[:, code.m:].reshape(B, Dd, n_tx, code.k)
             info_errors[name] = jnp.sum((u_hat != u_sel).astype(jnp.int32))
             iter_sum[name] = jnp.sum(st["iterations"])

@@ -130,3 +130,42 @@ def test_qc_decode_with_traced_max_iter(monkeypatch):
         assert int(f(jnp.float32(12.0))) == 0
     finally:
         importlib.reload(dec)
+
+
+@pytest.mark.parametrize("cap", [0, 7, 25])
+def test_pallas_traced_iter_cap_matches_xla_budget(cap):
+    """The kernel compiled at a static 25-iteration bound with a TRACED
+    runtime cap must reproduce the XLA decoder run at exactly `cap`
+    iterations — the mechanism that puts the NBF below-6dB doubled budget
+    (a traced max_iter) on the fused kernel."""
+    from unittest import mock
+    from esn_ofdm_mimo_tpu.ldpc import decode_pallas
+
+    code = make_qc_ldpc(512)
+    qc = code.qc
+    B = 24
+    _, llr = _awgn_llrs(code, B, 2.5, seed=13)
+
+    llr_nat = jnp.asarray(llr)[:, jnp.asarray(qc.inv_perm)]
+    ref_bits_nat, ref_stats = _decode_bp_graph(
+        jnp.asarray(qc.ck_cols_nat), jnp.asarray(qc.var_edge_nat),
+        llr_nat, cap, "sumprod", 0.75, True)
+    want = np.asarray(ref_bits_nat)[:, qc.perm]
+
+    with jax.disable_jit():
+        import jax.experimental.pallas as pl  # noqa: F401
+        orig = pl.pallas_call
+
+        def interp_call(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        with mock.patch.object(decode_pallas.pl, "pallas_call", interp_call):
+            bits, stats = decode_pallas.ldpc_decode_bp_pallas(
+                code, jnp.asarray(llr), 25, "sumprod", 0.75, True,
+                iter_cap=jnp.int32(cap))
+
+    assert (np.asarray(bits) == want).mean() > 0.999
+    ref_it = np.asarray(ref_stats["iterations"])
+    got_it = np.asarray(stats["iterations"])
+    assert (ref_it == got_it).mean() > 0.9, (ref_it, got_it)

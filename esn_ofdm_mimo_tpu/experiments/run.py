@@ -44,6 +44,14 @@ def main(argv=None) -> None:
     ap.add_argument("--ldpc-minsum-scale", type=float, default=None,
                     help="normalisation scale for --ldpc-algo minsum "
                          "(default: preset's, 0.75)")
+    ap.add_argument("--adaptive-min-errors", type=int, default=None,
+                    help="sequential MC (CDL pipeline): keep decoding extra "
+                         "blocks at each SNR until every detector has this "
+                         "many coded errors (or the --adaptive-max-blocks "
+                         "cap) — concentrates blocks at the waterfall cliff")
+    ap.add_argument("--adaptive-max-blocks", type=int, default=None,
+                    help="cap on decoded blocks per SNR for "
+                         "--adaptive-min-errors (default 4x blocks-per-snr)")
     ap.add_argument("--resume", action="store_true",
                     help="resume from per-SNR checkpoints in outdir")
     ap.add_argument("--trace", metavar="DIR", default=None,
@@ -84,7 +92,9 @@ def main(argv=None) -> None:
                                     blocks_per_device=args.blocks_per_device,
                                     mesh=mesh, seed=args.seed, checkpoint=ckpt,
                                     progress=progress,
-                                    rounds_per_call=args.rounds_per_call)
+                                    rounds_per_call=args.rounds_per_call,
+                                    adaptive_min_errors=args.adaptive_min_errors,
+                                    adaptive_max_blocks=args.adaptive_max_blocks)
             save_cdl_results(outdir, cfg, results)
         else:
             res = run_nbf_curve(cfg, blocks,

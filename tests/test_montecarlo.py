@@ -152,3 +152,35 @@ def test_cdl_fused_snr_step_layout_invariant():
     a = int(e1["esn"]) / int(t1)
     b = int(e8["esn"]) / int(t8)
     assert abs(a - b) < 0.15, (a, b)
+
+
+def test_cdl_adaptive_min_errors_extends_sampling():
+    """Sequential MC: with a min-error target the runner must decode extra
+    blocks at SNR points whose error counts fall short, stop at the
+    max-blocks cap, and leave low-SNR (error-rich) points at the base
+    budget."""
+    from esn_ofdm_mimo_tpu.config import CalibConfig
+    from esn_ofdm_mimo_tpu.parallel.montecarlo import run_cdl_curve
+
+    import dataclasses
+    cfg = dataclasses.replace(
+        tiny_cfg(calib=CalibConfig(enabled=True, cal_fraction=0.5)),
+        ebno_db=(0.0, 21.0))
+    msgs = []
+    base = run_cdl_curve(cfg, blocks_per_snr=8, blocks_per_device=1,
+                         mesh=trials_mesh(8), progress=None)
+    adapt = run_cdl_curve(cfg, blocks_per_snr=8, blocks_per_device=1,
+                          mesh=trials_mesh(8), progress=msgs.append,
+                          adaptive_min_errors=10 ** 9,   # unreachable target
+                          adaptive_max_blocks=16)
+    # every SNR point hits the 16-decoded-block cap (base: 4 decode blocks)
+    assert sum("adaptive" in m for m in msgs) == len(cfg.ebno_db), msgs
+    for r_b, r_a in zip(base, adapt):
+        assert r_a["ber_coded"].keys() == r_b["ber_coded"].keys()
+    # a satisfiable target stops immediately where errors are plentiful:
+    # at 0 dB the coded BER is ~0.4 so 1 error arrives in the base budget
+    msgs2 = []
+    run_cdl_curve(cfg, blocks_per_snr=8, blocks_per_device=1,
+                  mesh=trials_mesh(8), progress=msgs2.append,
+                  adaptive_min_errors=1, adaptive_max_blocks=16)
+    assert not any("adaptive" in m and "EbNo=0 dB" in m for m in msgs2), msgs2

@@ -192,12 +192,24 @@ def _readout_lstsq(ext: jnp.ndarray, tgt: jnp.ndarray,
     from ..ops.linalg_mxu import ns_prepare
     _, R, F = ext.shape
     if _READOUT_IMPL == "pinv":
-        # reference-faithful ablation mode: unregularised SVD pinv exactly
-        # like pyESN.fit (pyESN.py:189-192). float64 when x64 is enabled
-        # (matches the reference's NumPy precision); CPU-only — LAPACK SVD
-        # custom calls don't lower on the axon TPU backend.
-        dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        W = jnp.linalg.pinv(ext.astype(dt)) @ tgt.astype(dt)
+        # reference-faithful ablation mode: unregularised float64 SVD pinv
+        # exactly like pyESN.fit (np.linalg.pinv(ext) @ teachers,
+        # pyESN.py:189-192), via a host callback so the reference's f64
+        # precision is reproduced without enabling global x64 (which breaks
+        # the int-counter scan carries) — CPU ablation runs only. NOTE: a
+        # float32 jnp.linalg.pinv is NOT faithful: its default SVD cutoff
+        # (~max(R,F)*1.2e-7*s_max) truncates the small singular values and
+        # acts as regularisation, landing near the ridge curve instead of
+        # the reference's (measured, PARITY.md ESN-ablation section).
+        def _np_pinv(e, t):
+            import numpy as _np
+            e64 = _np.asarray(e, dtype=_np.float64)
+            t64 = _np.asarray(t, dtype=_np.float64)
+            return (_np.linalg.pinv(e64) @ t64).astype(_np.float32)
+
+        out_sd = jax.ShapeDtypeStruct(
+            (ext.shape[0], F, tgt.shape[-1]), jnp.float32)
+        W = jax.pure_callback(_np_pinv, out_sd, ext, tgt, vmap_method="legacy_vectorized")
         return W.astype(ext.dtype)
     # gram formation + refinement are precision-critical (pinned HIGHEST
     # like the Newton-Schulz iteration itself) so the data path's global

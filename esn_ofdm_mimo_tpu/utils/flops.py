@@ -167,7 +167,13 @@ class CdlFlops:
 
 
 def cdl_flops(cfg: SimConfig, n_blocks: int) -> CdlFlops:
-    """Analytic FLOPs of one B-block round of each flagship program."""
+    """Analytic FLOPs of one B-block round of each flagship program.
+
+    Models the CDL pipeline exactly (detectors esn+mmse, single SNR-matched
+    ESN fit); the NBF pipelines run two fits and five detectors, which this
+    model does not count — hence the guard."""
+    if not cfg.calib.enabled or cfg.esn.train_ebno_fixed_db is not None:
+        raise ValueError("cdl_flops models the calibrated CDL pipeline only")
     ofdm, ch, esn = cfg.ofdm, cfg.channel, cfg.esn
     N, m, isi, cp = (ofdm.n_subcarriers, ofdm.bits_per_symbol,
                      ofdm.isi_duration, ofdm.cp_len)

@@ -58,13 +58,15 @@ _RECURRENCE_PRECISION = {
 # Readout solver selection (ESN_TPU_READOUT):
 #   ridge (default) — ridge-regularised Newton-Schulz normal equations
 #       (_readout_lstsq), the TPU-native production solver.
-#   pinv — reference-faithful unregularised SVD pseudo-inverse, exactly
-#       pyESN.fit's `np.linalg.pinv(ext) @ teachers` (pyESN.py:189-192).
-#       CPU-only (LAPACK SVD custom call — not lowerable on the axon TPU
-#       backend); computed in float64 when jax_enable_x64 is set, else f32.
-#       Exists to ablation-prove that the flagship ESN curve's improvement
-#       over the reference comes from the ridge regularisation, not from an
-#       accidental scaling bug (VERDICT round 1, weak #2).
+#   pinv — reference-faithful unregularised float64 SVD pseudo-inverse,
+#       exactly pyESN.fit's `np.linalg.pinv(ext) @ teachers`
+#       (pyESN.py:189-192) via a NumPy host callback. CPU ablation runs
+#       only. Ablation RESULT (round 2, PARITY.md "ESN deviation"):
+#       full-grid 64-block A/B at identical block keys shows pinv == ridge
+#       to 5 decimals in uncoded BER at every SNR — the readout solver is
+#       NOT the source of the flagship ESN curve's improvement over the
+#       reference (ruling out both the round-1 "ridge generalises better"
+#       narrative and any readout-side scaling bug).
 _READOUT_IMPL = os.environ.get("ESN_TPU_READOUT", "ridge")
 
 

@@ -101,6 +101,24 @@ class EsnConfig:
     input_scaler: float = 0.005
     input_offset: float = 0.0
     teacher_scaling: float = 5e-7
+    # ESN training target waveform — THE root cause of the framework's ESN
+    # curves beating the reference's (PARITY.md "ESN deviation"):
+    #   "pre_pa" (parity/ablation mode) — the clean scaled TX waveform
+    #     BEFORE the Rapp PA, exactly the reference's `x_CP` (the PA output
+    #     `x_CP_NLD` enters the channel but NOT the trainer,
+    #     Demo_MIMO_4x8_Sionna_CDL_ESN_v2.py:344,391; OFDM_SISO_NBF_LDPC.py
+    #     :300,344; Demo_MIMO_2x2_all...:290,310): the ESN must jointly
+    #     invert channel AND PA. Reproduces the reference's ESN curve
+    #     (uncoded 11/11 in ±0.5 dB incl. the 0.155 floor,
+    #     results/mimo_4x8_cdl_tpu_prepa).
+    #   "post_pa" (default) — the PA output: an easier target (pure channel
+    #     inversion; the mild deterministic clipping distortion passes
+    #     through to the demapper instead of being inverted by a 300-unit
+    #     reservoir). ~30% lower uncoded floor / up to 4x lower coded BER
+    #     at high SNR than the reference. Default because the framework
+    #     goal is match-or-beat; flip via --esn-target for parity runs.
+    # Identical when the PA is disabled.
+    target_waveform: str = "post_pa"
     min_delay: int = 0
     # max_delay defaults to ceil(isi_duration/2)+2 at pipeline level when None
     max_delay: Optional[int] = None

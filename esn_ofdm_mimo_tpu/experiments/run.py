@@ -44,6 +44,13 @@ def main(argv=None) -> None:
     ap.add_argument("--ldpc-minsum-scale", type=float, default=None,
                     help="normalisation scale for --ldpc-algo minsum "
                          "(default: preset's, 0.75)")
+    ap.add_argument("--esn-target", choices=("pre_pa", "post_pa"),
+                    default=None,
+                    help="ESN training-target waveform: pre_pa = reference-"
+                         "exact (clean TX before the Rapp PA; the ESN learns "
+                         "joint channel+PA inversion — parity runs), "
+                         "post_pa = PA output (easier target, measured lower "
+                         "high-SNR floor). Default: preset's (post_pa)")
     ap.add_argument("--adaptive-min-errors", type=int, default=None,
                     help="sequential MC (CDL pipeline): keep decoding extra "
                          "blocks at each SNR until every detector has this "
@@ -66,6 +73,11 @@ def main(argv=None) -> None:
 
     maybe_init_distributed()
     cfg = get_preset(args.preset, fast=args.fast)
+    if args.esn_target is not None:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, esn=dataclasses.replace(cfg.esn,
+                                         target_waveform=args.esn_target))
     if args.ldpc_algo is not None or args.ldpc_minsum_scale is not None:
         import dataclasses
         ld = cfg.ldpc

@@ -101,12 +101,28 @@ def _draw_taps(cfg: SimConfig, bkeys) -> jnp.ndarray:
 
 
 def _tx_chain(X: jnp.ndarray, cp: int, sqrt_pi, a_clip, pa_on: bool,
-              smoothness: float) -> jnp.ndarray:
-    """Frequency symbols (..., n_tx, N) -> PA-clipped TD waveform (..., n_tx, T)."""
-    x_cp = ofdm_modulate(X, cp) * jnp.asarray(sqrt_pi)
-    if pa_on:
-        x_cp = rapp_pa(x_cp, a_clip, smoothness)
+              smoothness: float, return_clean: bool = False):
+    """Frequency symbols (..., n_tx, N) -> PA-clipped TD waveform (..., n_tx, T).
+
+    return_clean: also return the scaled waveform BEFORE the PA (the
+    reference's `x_CP`, vs the PA output `x_CP_NLD`) — the parity ESN
+    training target (EsnConfig.target_waveform)."""
+    x_clean = ofdm_modulate(X, cp) * jnp.asarray(sqrt_pi)
+    x_cp = rapp_pa(x_clean, a_clip, smoothness) if pa_on else x_clean
+    if return_clean:
+        return x_cp, x_clean
     return x_cp
+
+
+def _esn_target(cfg: SimConfig, x_cp: jnp.ndarray, x_clean: jnp.ndarray
+                ) -> jnp.ndarray:
+    """Select the ESN teacher waveform per EsnConfig.target_waveform."""
+    mode = cfg.esn.target_waveform
+    if mode == "pre_pa":
+        return x_clean
+    if mode == "post_pa":
+        return x_cp
+    raise ValueError(f"unknown esn target_waveform {mode!r}")
 
 
 def _link_budget(cfg: SimConfig, ebno_db):
@@ -147,7 +163,9 @@ def synth_block(cfg: SimConfig, ebno_db, bkeys, esn_over=None,
     comb = (jnp.arange(N)[None, :] % n_tx) == jnp.arange(n_tx)[:, None]
     X_ls = X_p * comb                                    # comb pilot grid
 
-    x_cp = _tx_chain(X_p, cp, sqrt_pi, a_clip, cfg.pa.enabled, cfg.pa.smoothness)
+    x_cp, x_clean = _tx_chain(X_p, cp, sqrt_pi, a_clip, cfg.pa.enabled,
+                              cfg.pa.smoothness, return_clean=True)
+    x_tgt = _esn_target(cfg, x_cp, x_clean)       # ESN teacher (ref: x_CP)
     x_ls_cp = _tx_chain(X_ls, cp, sqrt_pi, a_clip, cfg.pa.enabled,
                         cfg.pa.smoothness)
 
@@ -184,7 +202,7 @@ def synth_block(cfg: SimConfig, ebno_db, bkeys, esn_over=None,
         input_scaling=jnp.asarray(in_scaler) / jnp.sqrt(var_x),
         input_shift=jnp.float32(esn_cfg.input_offset / esn_cfg.input_scaler),
         teacher_scaling=jnp.asarray(t_scaling, dtype=jnp.float32))
-    Wt_out_m = train_mimo_esn(res, scale_m, y_cp, x_cp, delay, cp,
+    Wt_out_m = train_mimo_esn(res, scale_m, y_cp, x_tgt, delay, cp,
                               fold_key(bkeys[0], _K_ESNFIT))
 
     scale_f = None
@@ -194,22 +212,27 @@ def synth_block(cfg: SimConfig, ebno_db, bkeys, esn_over=None,
         var_f = 10.0 ** (esn_cfg.train_ebno_fixed_db / 10.0) * No * N
         pi_f = var_f / N
         a_clip_f = clip_amplitude(var_f, cfg.pa.clip_level_db)
-        x_cp_f = _tx_chain(X_p, cp, jnp.sqrt(pi_f), a_clip_f, cfg.pa.enabled,
-                           cfg.pa.smoothness)
+        x_cp_f, x_clean_f = _tx_chain(X_p, cp, jnp.sqrt(pi_f), a_clip_f,
+                                      cfg.pa.enabled, cfg.pa.smoothness,
+                                      return_clean=True)
         noise_f = _vawgn(_vfold(bkeys, _K_PNOISE_F), (n_rx, T), No, T)
         y_cp_f = apply_fir_channel(taps, x_cp_f) + noise_f
         scale_f = EsnScale(
             input_scaling=jnp.asarray(in_scaler) / jnp.sqrt(var_f),
             input_shift=jnp.float32(esn_cfg.input_offset / esn_cfg.input_scaler),
             teacher_scaling=jnp.float32(esn_cfg.teacher_scaling))
-        Wt_out_f = train_mimo_esn(res, scale_f, y_cp_f, x_cp_f, delay, cp,
-                                  fold_key(bkeys[0], _K_ESNFIT_F))
+        Wt_out_f = train_mimo_esn(res, scale_f, y_cp_f,
+                                  _esn_target(cfg, x_cp_f, x_clean_f),
+                                  delay, cp, fold_key(bkeys[0], _K_ESNFIT_F))
 
     state = BlockState(taps=taps, H_true=H_true, H_ls=H_ls, H_mmse=H_mmse,
                        reservoir=res, scale_m=scale_m, scale_f=scale_f,
                        Wt_out_m=Wt_out_m, Wt_out_f=Wt_out_f)
     if return_pilot:
-        return state, (y_cp, x_cp)
+        # the returned target is the same teacher the ESN trained on (the
+        # reference trains ALL zoo models on (y_CP_NLD, x_CP),
+        # Demo_MIMO_2x2_all_DL_model_comparion.py:310)
+        return state, (y_cp, x_tgt)
     return state
 
 
@@ -244,7 +267,8 @@ def detect_data_symbols(cfg: SimConfig, state: BlockState, ebno_db, bkeys,
     _, pi, sqrt_pi, a_clip = _link_budget(cfg, ebno_db)
 
     X = bits_to_symbols(code_bits, m)                    # (B, D, n_tx, N)
-    x_cp = _tx_chain(X, cp, sqrt_pi, a_clip, cfg.pa.enabled, cfg.pa.smoothness)
+    x_cp, x_clean = _tx_chain(X, cp, sqrt_pi, a_clip, cfg.pa.enabled,
+                              cfg.pa.smoothness, return_clean=True)
     noise = _vawgn(_vfold(bkeys, _K_DNOISE), (D, n_rx, T), No, T)
     y_cp = apply_fir_channel(state.taps[:, None], x_cp) + noise
     Y = ofdm_demodulate(y_cp, cp)                        # (B, D, n_rx, N)
@@ -282,7 +306,9 @@ def detect_data_symbols(cfg: SimConfig, state: BlockState, ebno_db, bkeys,
     X_true = jnp.moveaxis(X, -2, -1)                     # (B, D, N, n_tx)
     data = DataSymbols(X_true=X_true, Y=Y, X_hat=X_hat)
     if return_td:
-        return data, (y_cp, x_cp)
+        # test-NMSE reference waveform = the same domain the models were
+        # trained to emit (EsnConfig.target_waveform)
+        return data, (y_cp, _esn_target(cfg, x_cp, x_clean))
     return data
 
 

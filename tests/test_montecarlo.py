@@ -184,3 +184,38 @@ def test_cdl_adaptive_min_errors_extends_sampling():
                   mesh=trials_mesh(8), progress=msgs2.append,
                   adaptive_min_errors=1, adaptive_max_blocks=16)
     assert not any("adaptive" in m and "EbNo=0 dB" in m for m in msgs2), msgs2
+
+
+def test_esn_target_waveform_modes():
+    """pre_pa (parity: reference trains on the clean x_CP while x_CP_NLD
+    enters the channel) and post_pa (extension) must differ exactly when
+    the PA is on, be identical when it is off, and produce different
+    trained readouts only through the teacher waveform (same channel,
+    same estimates)."""
+    import dataclasses
+    from esn_ofdm_mimo_tpu.pipelines.common import synth_block
+
+    keys = block_keys(jax.random.PRNGKey(3), 0, jnp.arange(2, dtype=jnp.uint32))
+
+    def run(pa_on, mode):
+        from esn_ofdm_mimo_tpu.config import PaConfig
+        cfg = tiny_cfg(pa=PaConfig(enabled=pa_on))
+        cfg = dataclasses.replace(
+            cfg, esn=dataclasses.replace(cfg.esn, target_waveform=mode))
+        state, (y_cp, x_tgt) = synth_block(cfg, jnp.float32(12.0), keys,
+                                           return_pilot=True)
+        return state, np.asarray(x_tgt)
+
+    s_pre, x_pre = run(True, "pre_pa")
+    s_post, x_post = run(True, "post_pa")
+    assert np.abs(x_pre - x_post).max() > 1e-6          # PA on: targets differ
+    assert np.abs(np.asarray(s_pre.Wt_out_m)
+                  - np.asarray(s_post.Wt_out_m)).max() > 0
+    np.testing.assert_array_equal(np.asarray(s_pre.H_ls),
+                                  np.asarray(s_post.H_ls))
+
+    s_pre0, x_pre0 = run(False, "pre_pa")
+    s_post0, x_post0 = run(False, "post_pa")
+    np.testing.assert_array_equal(x_pre0, x_post0)       # PA off: identical
+    np.testing.assert_array_equal(np.asarray(s_pre0.Wt_out_m),
+                                  np.asarray(s_post0.Wt_out_m))

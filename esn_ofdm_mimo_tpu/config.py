@@ -169,6 +169,14 @@ class LdpcConfig:
     # hardware decoder, typically within 0.1-0.2 dB at rate 1/2
     algo: str = "sumprod"
     minsum_scale: float = 0.75
+    # BP update schedule: "flooding" = pyldpc's parallel updates (the parity
+    # default); "layered" (QC family only) = serial-C row-layered sweeps —
+    # information propagates ~2x faster per sweep, so HALF the max_iter
+    # budget reaches the flooding fixed point at equal BER (validated per
+    # preset: tools/validate_baseline.py + tools/compare_curves.py runs).
+    # Presets that opt in pair schedule="layered" with max_iter=50 to cut
+    # the decode-bound e2e time ~2x at unchanged BER.
+    schedule: str = "flooding"
 
 
 @dataclasses.dataclass(frozen=True)

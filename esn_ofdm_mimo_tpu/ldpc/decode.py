@@ -28,6 +28,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .code import LdpcCode
 
@@ -58,13 +59,23 @@ def _leave_one_out_prod(t: jnp.ndarray) -> jnp.ndarray:
 
 def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100,
                    algo: str = "sumprod", minsum_scale: float = 0.75,
-                   return_stats: bool = False, max_iter_bound=None):
+                   return_stats: bool = False, max_iter_bound=None,
+                   schedule: str = "flooding"):
     """Decode B codewords. llr (B, n) channel LLRs (positive <=> bit 0).
 
     algo="sumprod" reproduces pyldpc's tanh-rule updates (the parity
     default); algo="minsum" is the normalised min-sum approximation
     (sign-product x scaled second-min magnitude) — cheaper per iteration,
     the classic hardware decoder; ~0.1-0.2 dB from sum-product at rate 1/2.
+
+    schedule="flooding" is pyldpc's parallel update (the parity default);
+    schedule="layered" (QC codes only) is the serial-C row-layered sweep:
+    the dv base rows update in sequence within one iteration, each seeing
+    posteriors the previous rows just refreshed. Layered converges in about
+    half the flooding iterations at equal BER (standard result, validated
+    in tests/test_ldpc_qc.py), so a layered max_iter=K budget replaces a
+    flooding 2K budget — the decode-bound pipelines exploit this through
+    LdpcConfig.schedule.
 
     QC codes decode on their full lifted graph (the same graph on every
     backend): through the fused Pallas kernel on TPU, or through this XLA
@@ -76,6 +87,11 @@ def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100,
     the early-termination telemetry the decode phase is profiled by
     (SURVEY.md §5 observability; reference has only a maxiter knob).
     """
+    if schedule not in ("flooding", "layered"):
+        raise ValueError(f"unknown BP schedule {schedule!r}")
+    if schedule == "layered" and code.qc is None:
+        raise ValueError("schedule='layered' requires a QC code "
+                         "(LdpcConfig.family='qc')")
     if code.qc is not None:
         impl = LDPC_TPU_IMPL
         if impl == "auto":
@@ -96,13 +112,18 @@ def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100,
             from .decode_pallas import ldpc_decode_bp_pallas
             return ldpc_decode_bp_pallas(code, llr, max_iter, algo,
                                          minsum_scale, return_stats,
-                                         iter_cap=iter_cap)
+                                         iter_cap=iter_cap,
+                                         schedule=schedule)
         # XLA path on the identical full QC graph, in natural column order
         llr_nat = llr[:, jnp.asarray(code.qc.inv_perm)]
-        out = _decode_bp_graph(jnp.asarray(code.qc.ck_cols_nat),
-                               jnp.asarray(code.qc.var_edge_nat),
-                               llr_nat, max_iter, algo, minsum_scale,
-                               return_stats)
+        if schedule == "layered":
+            out = _decode_bp_qc_layered(code, llr_nat, max_iter, algo,
+                                        minsum_scale, return_stats)
+        else:
+            out = _decode_bp_graph(jnp.asarray(code.qc.ck_cols_nat),
+                                   jnp.asarray(code.qc.var_edge_nat),
+                                   llr_nat, max_iter, algo, minsum_scale,
+                                   return_stats)
         perm = jnp.asarray(code.qc.perm)
         if return_stats:
             bits, stats = out
@@ -111,6 +132,99 @@ def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100,
     return _decode_bp_graph(jnp.asarray(code.ck_cols),
                             jnp.asarray(code.var_edge), llr, max_iter,
                             algo, minsum_scale, return_stats)
+
+
+def _decode_bp_qc_layered(code: LdpcCode, llr_nat: jnp.ndarray, max_iter,
+                          algo: str, minsum_scale: float,
+                          return_stats: bool):
+    """Serial-C (row-layered) BP on the full lifted QC graph, natural order.
+
+    The QC structure makes layers trivial: base row i touches every
+    variable exactly once, and its check (i, z') sees variable (j, z) iff
+    z' == (z + shifts[i, j]) % Z — so the whole layer update is dc static
+    `jnp.roll`s per direction, no gathers (the XLA mirror of the Pallas
+    kernel's sublane-roll routing, decode_pallas.py). One iteration = one
+    full sweep over the dv layers, each layer reading the posteriors the
+    previous layers just refreshed. Accepts a traced `max_iter` (the
+    while_loop bound is dynamic).
+    """
+    qc = code.qc
+    Z, dv, dc = int(qc.Z), int(code.dv), int(code.dc)
+    shifts = [[int(s) for s in row] for row in np.asarray(qc.shifts)]
+    B = llr_nat.shape[0]
+    Lc = llr_nat.astype(jnp.float32).reshape(B, dc, Z)
+
+    def syndrome_ok(lt):
+        d = (lt < 0.0).astype(jnp.float32)               # (B, dc, Z)
+        ok = jnp.ones((B,), bool)
+        for i in range(dv):
+            acc = d[:, 0] * 0.0
+            for j in range(dc):
+                acc = acc + jnp.roll(d[:, j], shifts[i][j], axis=-1)
+            ok = ok & jnp.all(jnp.mod(acc, 2.0) == 0.0, axis=-1)
+        return ok
+
+    def sweep(r, lt):
+        """One full layered iteration. r (B, dv, dc, Z), lt (B, dc, Z)."""
+        for i in range(dv):
+            # q feeds the posterior update UNclipped (the posterior is
+            # never clipped in flooding BP either: Ltot = Lc + sum r);
+            # only the var->check message entering the check update clips
+            q = lt - r[:, i]                                  # (B, dc, Z)
+            qc = jnp.clip(q, -MSG_CLIP, MSG_CLIP)
+            t = jnp.stack([jnp.roll(qc[:, j], shifts[i][j], axis=-1)
+                           for j in range(dc)], axis=-1)       # (B, Z, dc)
+            if algo == "minsum":
+                sgn = jnp.where(t < 0, -1.0, 1.0)
+                sprod = _leave_one_out_prod(sgn)
+                mag = jnp.abs(t)
+                m1 = jnp.min(mag, axis=-1, keepdims=True)
+                is_min = mag == m1
+                first_min = jnp.logical_and(
+                    jnp.cumsum(is_min.astype(jnp.int32), axis=-1) == 1,
+                    is_min)
+                m2 = jnp.min(jnp.where(first_min, jnp.inf, mag), axis=-1,
+                             keepdims=True)
+                loo = jnp.where(first_min, m2, m1)
+                rc = minsum_scale * sprod * jnp.minimum(loo, MSG_CLIP)
+            else:
+                th = jnp.tanh(0.5 * t)
+                prod = jnp.clip(_leave_one_out_prod(th),
+                                -0.9999999, 0.9999999)
+                rc = 2.0 * jnp.arctanh(prod)
+            r_new = jnp.stack([jnp.roll(rc[..., j], -shifts[i][j], axis=-1)
+                               for j in range(dc)], axis=1)    # (B, dc, Z)
+            lt = q + r_new
+            r = r.at[:, i].set(r_new)
+        return r, lt
+
+    lt0 = Lc
+    r0 = jnp.zeros((B, dv, dc, Z), jnp.float32)
+    d0 = (lt0.reshape(B, -1) < 0).astype(jnp.int8)
+    done0 = syndrome_ok(lt0)
+    conv0 = jnp.where(done0, 0, max_iter).astype(jnp.int32)
+
+    def cond(state):
+        it, _, _, _, done, _ = state
+        return jnp.logical_and(it < max_iter, jnp.logical_not(jnp.all(done)))
+
+    def body(state):
+        it, r, lt, d_final, done, conv_it = state
+        r, lt = sweep(r, lt)
+        d_new = (lt.reshape(B, -1) < 0).astype(jnp.int8)
+        ok = syndrome_ok(lt)
+        just = ~done & ok
+        d_final = jnp.where(just[:, None], d_new, d_final)
+        conv_it = jnp.where(just, it + 1, conv_it)
+        return it + 1, r, lt, d_final, done | ok, conv_it
+
+    it, r, lt, d_final, done, conv_it = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), r0, lt0, d0, done0, conv0))
+    d_last = (lt.reshape(B, -1) < 0).astype(jnp.int8)
+    bits = jnp.where(done[:, None], d_final, d_last)
+    if return_stats:
+        return bits, {"iterations": conv_it, "converged": done}
+    return bits
 
 
 def _decode_bp_graph(ck_cols: jnp.ndarray, var_edge: jnp.ndarray,

@@ -57,7 +57,7 @@ def _roll(x: jnp.ndarray, s: int, Z: int) -> jnp.ndarray:
 
 
 def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
-               minsum_scale: float):
+               minsum_scale: float, schedule: str = "flooding"):
     """Build the kernel body with all structure baked in statically.
 
     `max_iter` is the STATIC trip count the kernel compiles with; the
@@ -66,10 +66,19 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
     pipelines double the cap below 6 dB with Eb/N0 traced,
     pipelines/blockfading.py; reference DEC_MAXITER rule
     OFDM_SISO_NBF_LDPC.py:196). Iterations past the cap are skipped by the
-    same predication that implements per-tile convergence early exit."""
+    same predication that implements per-tile convergence early exit.
+
+    schedule="flooding" reproduces pyldpc's parallel message updates;
+    "layered" is the serial-C (row-layered) schedule: the dv lifted base
+    rows update in sequence within one sweep, each seeing the posteriors
+    already refreshed by the previous layers. Layered BP propagates
+    information ~2x faster per sweep, so half the iteration budget reaches
+    the flooding fixed point at equal BER (validated in
+    tests/test_ldpc_qc.py + the TPU parity reruns) — the decode-bound
+    e2e path runs layered at max_iter/2 by LdpcConfig.schedule."""
     shifts = [[int(shifts[i][j]) for j in range(dc)] for i in range(dv)]
 
-    def kernel(lc_ref, cap_ref, bits_ref, stats_ref, r_ref):
+    def kernel(lc_ref, cap_ref, bits_ref, stats_ref, r_ref, lt_ref=None):
         one = jnp.ones((Z, W), jnp.float32)
         cap = cap_ref[0]
 
@@ -82,9 +91,16 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
                 t = t + r_ref[i, j]
             return t
 
+        def posterior(j):
+            """Total per-variable LLR: maintained incrementally (layered)
+            or recomputed from the messages (flooding)."""
+            if schedule == "layered":
+                return lt_ref[j]
+            return lc(j) + r_sum(j)
+
         def decide_and_check():
             """Posterior decision per variable + per-lane syndrome-ok flag."""
-            d = [(lc(j) + r_sum(j) < 0.0).astype(jnp.float32)
+            d = [(posterior(j) < 0.0).astype(jnp.float32)
                  for j in range(dc)]
             bad = jnp.zeros((1, W), jnp.float32)
             for i in range(dv):
@@ -108,8 +124,53 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
                                           stats_ref[0:1, :])
             stats_ref[1:2, :] = jnp.maximum(prev_done, ok)
 
+        def check_update_row(i, q):
+            """Leave-one-out check update of base row i from var->check
+            inputs q[j] (clipped, variable domain). Returns the new
+            check->var messages r_new[j] rolled back to the var domain."""
+            if algo == "minsum":
+                tc = [_roll(q[j], shifts[i][j], Z) for j in range(dc)]
+                # online (min, second-min, first-argmin) over j
+                sgn = [jnp.where(tc[j] < 0, -one, one) for j in range(dc)]
+                sprod = sgn[0]
+                for j in range(1, dc):
+                    sprod = sprod * sgn[j]
+                m1 = jnp.abs(tc[0])
+                m2 = jnp.full((Z, W), jnp.inf, jnp.float32)
+                arg1 = jnp.zeros((Z, W), jnp.float32)
+                for j in range(1, dc):
+                    a = jnp.abs(tc[j])
+                    is_new = a < m1
+                    m2 = jnp.where(is_new, m1, jnp.minimum(m2, a))
+                    arg1 = jnp.where(is_new, float(j), arg1)
+                    m1 = jnp.minimum(m1, a)
+                out = []
+                for j in range(dc):
+                    loo = jnp.where(arg1 == float(j), m2, m1)
+                    rc = (minsum_scale * sprod * sgn[j]
+                          * jnp.minimum(loo, MSG_CLIP))
+                    out.append(_roll(rc, -shifts[i][j], Z))
+                return out
+            tc = [_roll(jnp.tanh(0.5 * q[j]), shifts[i][j], Z)
+                  for j in range(dc)]
+            # leave-one-out product via forward/backward partials
+            fwd = [one]
+            for j in range(dc - 1):
+                fwd.append(fwd[-1] * tc[j])
+            bwd = one
+            out = [None] * dc
+            for j in range(dc - 1, -1, -1):
+                prod = jnp.clip(fwd[j] * bwd, -0.9999999, 0.9999999)
+                rc = jnp.log1p(prod) - jnp.log1p(-prod)      # 2*atanh
+                out[j] = _roll(rc, -shifts[i][j], Z)
+                bwd = bwd * tc[j]
+            return out
+
         # --- iteration 0: zero messages, channel-only decision -------------
         r_ref[...] = jnp.zeros((dv, dc, Z, W), jnp.float32)
+        if schedule == "layered":
+            for j in range(dc):
+                lt_ref[j] = lc(j)
         stats_ref[...] = jnp.zeros((8, W), jnp.float32)
         # unconverged lanes report the *effective* iteration budget
         stats_ref[0:1, :] = jnp.full((1, W), 1.0, jnp.float32) * cap.astype(jnp.float32)
@@ -122,54 +183,29 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
 
             @pl.when(jnp.logical_not(all_done) & (it < cap))
             def _iter():
-                # variable update (var-major, contiguous)
-                Ltot = [lc(j) + r_sum(j) for j in range(dc)]
-                # var->check messages, rolled into the check domain
-                tc = [[None] * dc for _ in range(dv)]
-                for i in range(dv):
-                    for j in range(dc):
-                        q = jnp.clip(Ltot[j] - r_ref[i, j],
-                                     -MSG_CLIP, MSG_CLIP)
-                        if algo == "minsum":
-                            tc[i][j] = _roll(q, shifts[i][j], Z)
-                        else:
-                            tc[i][j] = _roll(jnp.tanh(0.5 * q),
-                                             shifts[i][j], Z)
-                # check update: leave-one-out across the dc cells of row i
-                for i in range(dv):
-                    if algo == "minsum":
-                        # online (min, second-min, first-argmin) over j
-                        sgn = [jnp.where(tc[i][j] < 0, -one, one)
-                               for j in range(dc)]
-                        sprod = sgn[0]
-                        for j in range(1, dc):
-                            sprod = sprod * sgn[j]
-                        m1 = jnp.abs(tc[i][0])
-                        m2 = jnp.full((Z, W), jnp.inf, jnp.float32)
-                        arg1 = jnp.zeros((Z, W), jnp.float32)
-                        for j in range(1, dc):
-                            a = jnp.abs(tc[i][j])
-                            is_new = a < m1
-                            m2 = jnp.where(is_new, m1, jnp.minimum(m2, a))
-                            arg1 = jnp.where(is_new, float(j), arg1)
-                            m1 = jnp.minimum(m1, a)
+                if schedule == "layered":
+                    # serial-C sweep: each base row sees the posteriors the
+                    # previous rows just refreshed. The posterior update
+                    # uses the UNclipped q (flooding never clips Ltot
+                    # either); only the message entering the check clips.
+                    for i in range(dv):
+                        q = [lt_ref[j] - r_ref[i, j] for j in range(dc)]
+                        qc = [jnp.clip(q[j], -MSG_CLIP, MSG_CLIP)
+                              for j in range(dc)]
+                        r_new = check_update_row(i, qc)
                         for j in range(dc):
-                            loo = jnp.where(arg1 == float(j), m2, m1)
-                            rc = (minsum_scale * sprod * sgn[j]
-                                  * jnp.minimum(loo, MSG_CLIP))
-                            r_ref[i, j] = _roll(rc, -shifts[i][j], Z)
-                    else:
-                        # leave-one-out product via forward/backward partials
-                        fwd = [one]
-                        for j in range(dc - 1):
-                            fwd.append(fwd[-1] * tc[i][j])
-                        bwd = one
-                        for j in range(dc - 1, -1, -1):
-                            prod = jnp.clip(fwd[j] * bwd,
-                                            -0.9999999, 0.9999999)
-                            rc = jnp.log1p(prod) - jnp.log1p(-prod)  # 2*atanh
-                            r_ref[i, j] = _roll(rc, -shifts[i][j], Z)
-                            bwd = bwd * tc[i][j]
+                            r_ref[i, j] = r_new[j]
+                            lt_ref[j] = q[j] + r_new[j]
+                else:
+                    # flooding: all rows update from the same posteriors
+                    Ltot = [lc(j) + r_sum(j) for j in range(dc)]
+                    for i in range(dv):
+                        q = [jnp.clip(Ltot[j] - r_ref[i, j],
+                                      -MSG_CLIP, MSG_CLIP)
+                             for j in range(dc)]
+                        r_new = check_update_row(i, q)
+                        for j in range(dc):
+                            r_ref[i, j] = r_new[j]
                 d, ok = decide_and_check()
                 freeze(d, ok, jnp.float32(it) + 1.0)
             return carry
@@ -179,12 +215,17 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
 def _decode_padded(shape_key, lc_nat_T: jnp.ndarray, iter_cap: jnp.ndarray,
-                   max_iter: int, algo: str, minsum_scale: float, qc_static):
+                   max_iter: int, algo: str, minsum_scale: float, qc_static,
+                   schedule: str = "flooding"):
     Z, dv, dc, shifts = qc_static
     n, Bp = lc_nat_T.shape
-    kernel = _bp_kernel(Z, dv, dc, shifts, max_iter, algo, minsum_scale)
+    kernel = _bp_kernel(Z, dv, dc, shifts, max_iter, algo, minsum_scale,
+                        schedule)
+    scratch = [pltpu.VMEM((dv, dc, Z, W), jnp.float32)]
+    if schedule == "layered":
+        scratch.append(pltpu.VMEM((dc, Z, W), jnp.float32))
     bits_T, stats = pl.pallas_call(
         kernel,
         grid=(Bp // W,),
@@ -197,7 +238,7 @@ def _decode_padded(shape_key, lc_nat_T: jnp.ndarray, iter_cap: jnp.ndarray,
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((n, Bp), jnp.float32),
                    jax.ShapeDtypeStruct((8, Bp), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((dv, dc, Z, W), jnp.float32)],
+        scratch_shapes=scratch,
     )(lc_nat_T, iter_cap)
     return bits_T, stats
 
@@ -206,7 +247,7 @@ def ldpc_decode_bp_pallas(code: LdpcCode, llr: jnp.ndarray,
                           max_iter: int = 100, algo: str = "sumprod",
                           minsum_scale: float = 0.75,
                           return_stats: bool = False,
-                          iter_cap=None):
+                          iter_cap=None, schedule: str = "flooding"):
     """Drop-in fast path for ldpc_decode_bp on QC codes (TPU backends).
 
     llr (B, n) channel LLRs in pipeline bit order; returns hard bits (B, n)
@@ -214,9 +255,21 @@ def ldpc_decode_bp_pallas(code: LdpcCode, llr: jnp.ndarray,
     `max_iter` must be a static int (the compiled trip count); `iter_cap`
     may be a TRACED scalar <= max_iter limiting the executed iterations —
     the NBF pipelines' per-SNR doubled budget rides one compiled kernel.
+    schedule="layered" runs the serial-C row-layered sweep (see _bp_kernel).
     """
     qc = code.qc
     assert qc is not None, "pallas decoder requires a QC code (make_qc_ldpc)"
+    # Contract: `max_iter` (the compiled trip count) must dominate every
+    # runtime value of `iter_cap` — a larger traced cap is silently clamped
+    # to max_iter by the jnp.minimum below (the kernel cannot run more
+    # iterations than it was compiled for). Callers with a traced budget
+    # must size max_iter_bound at the worst case (the NBF pipelines use
+    # 2*max_iter for the doubled-below-6dB rule). Concrete caps are checked
+    # eagerly here; traced caps are the caller's promise.
+    if iter_cap is not None and not isinstance(iter_cap, jax.core.Tracer):
+        assert int(iter_cap) <= int(max_iter), (
+            f"iter_cap={int(iter_cap)} exceeds the compiled max_iter="
+            f"{int(max_iter)}; raise max_iter (or max_iter_bound)")
     B, n = llr.shape
     Bp = -(-B // W) * W
     lc_nat = llr.astype(jnp.float32)[:, jnp.asarray(qc.inv_perm)]
@@ -227,7 +280,8 @@ def ldpc_decode_bp_pallas(code: LdpcCode, llr: jnp.ndarray,
     cap = max_iter if iter_cap is None else iter_cap
     cap = jnp.minimum(jnp.asarray(cap, jnp.int32), jnp.int32(max_iter))
     bits_T, stats = _decode_padded(None, lc_T, cap.reshape(1), int(max_iter),
-                                   algo, float(minsum_scale), qc_static)
+                                   algo, float(minsum_scale), qc_static,
+                                   schedule)
     bits_nat = bits_T[:, :B].T                       # (B, n) natural order
     bits = bits_nat[:, jnp.asarray(qc.perm)].astype(jnp.int8)
     if return_stats:

@@ -415,7 +415,8 @@ def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
             coded = _tree_add(coded, cnt)
 
         if adaptive_min_errors:
-            max_dec_blocks = adaptive_max_blocks or 4 * blocks_per_snr
+            max_dec_blocks = (4 * blocks_per_snr if adaptive_max_blocks is None
+                              else adaptive_max_blocks)
             if dec_step is None:
                 _, dec_step = make_sharded_cdl_steps(cfg, mesh)
             Ra = max(1, rounds_per_call)
@@ -425,12 +426,14 @@ def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
             extra = 0
             while (min(int(v) for v in coded.info_errors.values())
                    < adaptive_min_errors and dec_blocks < max_dec_blocks):
-                ids = jnp.arange(bid, bid + Ra * G, dtype=jnp.uint32)
-                bid += Ra * G
-                dec_blocks += Ra * G
-                extra += Ra * G
+                # clip the last batch to the cap, in whole G-block rounds
+                n_rounds = min(Ra, max(1, (max_dec_blocks - dec_blocks) // G))
+                ids = jnp.arange(bid, bid + n_rounds * G, dtype=jnp.uint32)
+                bid += n_rounds * G
+                dec_blocks += n_rounds * G
+                extra += n_rounds * G
                 keys = block_keys(root, jj, ids)
-                keys = keys.reshape(Ra, G, *keys.shape[1:])
+                keys = keys.reshape(n_rounds, G, *keys.shape[1:])
                 cnt = jax.tree.map(lambda x: np.asarray(x, np.int64),
                                    jax.device_get(
                                        dec_step(jnp.float32(ebno), keys,

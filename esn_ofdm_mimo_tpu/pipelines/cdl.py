@@ -160,7 +160,8 @@ def run_cdl_decode_blocks(cfg: SimConfig, ebno_db, bkeys,
         Lc = llr_from_yobs(y_obs, snr_db=1.0)
         d_hat = ldpc_decode_bp(code, Lc.reshape(-1, N * m), cfg.ldpc.max_iter,
                                algo=cfg.ldpc.algo,
-                               minsum_scale=cfg.ldpc.minsum_scale)
+                               minsum_scale=cfg.ldpc.minsum_scale,
+                               schedule=cfg.ldpc.schedule)
         u_hat = d_hat[:, code.m:].reshape(B, D, n_tx, code.k)
         info_errors[name] = jnp.sum((u_hat != info_bits).astype(jnp.int32))
 

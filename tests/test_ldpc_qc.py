@@ -129,7 +129,97 @@ def test_qc_decode_with_traced_max_iter(monkeypatch):
         assert int(f(jnp.float32(3.0))) == 0
         assert int(f(jnp.float32(12.0))) == 0
     finally:
+        # drop the env var BEFORE the restore-reload: the reload re-reads
+        # LDPC_TPU_IMPL at module level, and monkeypatch teardown runs
+        # after this finally block
+        monkeypatch.delenv("LDPC_TPU_IMPL", raising=False)
         importlib.reload(dec)
+
+
+@pytest.mark.parametrize("algo", ["sumprod", "minsum"])
+def test_pallas_layered_matches_xla_layered(algo):
+    """Layered-schedule kernel (interpret mode) vs the XLA layered decoder."""
+    from unittest import mock
+    from esn_ofdm_mimo_tpu.ldpc import decode_pallas
+    from esn_ofdm_mimo_tpu.ldpc.decode import _decode_bp_qc_layered
+
+    code = make_qc_ldpc(512)
+    qc = code.qc
+    B = 24
+    _, llr = _awgn_llrs(code, B, 2.5, seed=17)
+
+    llr_nat = jnp.asarray(llr)[:, jnp.asarray(qc.inv_perm)]
+    ref_bits_nat, ref_stats = _decode_bp_qc_layered(
+        code, llr_nat, 15, algo, 0.75, True)
+    want = np.asarray(ref_bits_nat)[:, qc.perm]
+
+    with jax.disable_jit():
+        import jax.experimental.pallas as pl  # noqa: F401
+        orig = pl.pallas_call
+
+        def interp_call(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        with mock.patch.object(decode_pallas.pl, "pallas_call", interp_call):
+            bits, stats = decode_pallas.ldpc_decode_bp_pallas(
+                code, jnp.asarray(llr), 15, algo, 0.75, True,
+                schedule="layered")
+
+    assert (np.asarray(bits) == want).mean() > 0.999
+    ref_it = np.asarray(ref_stats["iterations"])
+    got_it = np.asarray(stats["iterations"])
+    assert (ref_it == got_it).mean() > 0.9
+    assert (np.asarray(ref_stats["converged"])
+            == np.asarray(stats["converged"])).mean() > 0.95
+
+
+def test_layered_half_budget_matches_flooding_ber():
+    """Serial-C layered at max_iter=K tracks flooding at 2K: information
+    propagates ~2x faster per sweep (the schedule the decode-bound presets
+    run, LdpcConfig.schedule='layered' + halved max_iter)."""
+    code = make_qc_ldpc(512)
+    B = 384
+    u, llr = _awgn_llrs(code, B, 2.0, seed=23)
+    res = {}
+    for sched, mi in (("flooding", 50), ("layered", 25)):
+        d, st = ldpc_decode_bp(code, jnp.asarray(llr), mi, schedule=sched,
+                               return_stats=True)
+        d = np.asarray(d)
+        it = np.asarray(st["iterations"])
+        conv = np.asarray(st["converged"])
+        res[sched] = (float((d[:, code.m:] != u).mean()),
+                      float(it[conv].mean()), float(conv.mean()))
+    ber_f, it_f, conv_f = res["flooding"]
+    ber_l, it_l, conv_l = res["layered"]
+    # equal-BER band (sampling slack) at half the sweeps
+    assert ber_l <= ber_f * 1.25 + 2e-3, res
+    assert conv_l >= conv_f - 0.02, res
+    assert it_l <= 0.65 * it_f, res     # ~2x faster convergence
+
+
+def test_layered_requires_qc():
+    g = make_regular_ldpc(256)
+    with pytest.raises(ValueError):
+        ldpc_decode_bp(g, jnp.zeros((2, 256), jnp.float32), 5,
+                       schedule="layered")
+
+
+def test_layered_traced_max_iter_and_cap():
+    """Traced budgets flow through both layered paths: the XLA while_loop
+    takes the dynamic bound directly; the kernel runs it as an iter_cap."""
+    code = make_qc_ldpc(64)
+    cw = jnp.zeros((3, code.n), jnp.float32)
+    llr = 8.0 * (1.0 - 2.0 * cw)
+
+    @jax.jit
+    def f(ebno_db):
+        mi = jnp.where(ebno_db >= 6.0, 10, 20)
+        bits = ldpc_decode_bp(code, llr, mi, schedule="layered",
+                              max_iter_bound=20)
+        return jnp.sum(bits.astype(jnp.int32))
+    assert int(f(jnp.float32(3.0))) == 0
+    assert int(f(jnp.float32(12.0))) == 0
 
 
 @pytest.mark.parametrize("cap", [0, 7, 25])

@@ -27,7 +27,7 @@ def main() -> None:
     bench = importlib.import_module("bench")
     for part in spec.split(","):
         nb, r = (int(v) for v in part.split(":"))
-        val = bench._bench_tpu(n_blocks=nb, rounds=r, iters=3)
+        val, _, _ = bench._bench_tpu(n_blocks=nb, rounds=r, iters=3)
         print(f"blocks={nb:4d} rounds={r:3d}  {val:10.0f} sym/s", flush=True)
 
 

@@ -125,13 +125,15 @@ def _bench_tpu_e2e(n_blocks: int = 128, cal_rounds: int = 2,
     ck, dk = keys_for(0)
     jax.device_get(step(ebno, ck, dk))
     best = float("inf")
+    dec = None
     for i in range(iters):
         ck, dk = keys_for(i + 1)
         t0 = time.perf_counter()
-        jax.device_get(step(ebno, ck, dk))
+        out = jax.device_get(step(ebno, ck, dk))
         best = min(best, time.perf_counter() - t0)
+        dec = out[2]         # decoded counters incl. BP iteration telemetry
     symbols = R * n_blocks * (D + 1)
-    return symbols / best, best, symbols
+    return symbols / best, best, symbols, dec
 
 
 def _bench_numpy_reference(n_data_symbols: int = 3) -> float:
@@ -173,14 +175,31 @@ def _bench_numpy_reference(n_data_symbols: int = 3) -> float:
     return n_data_symbols / (time.perf_counter() - t0)
 
 
+BASELINE_PINNED = True  # set False when the committed pin was unavailable
+
+
 def main() -> None:
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".bench_baseline.json")
-    if os.path.exists(cache):
+    global BASELINE_PINNED
+    root = os.path.dirname(os.path.abspath(__file__))
+    # vs_baseline denominator resolution order (VERDICT r02 #7: the NumPy
+    # baseline must be PINNED so the headline multiple is comparable across
+    # rounds, not re-measured under whatever host load exists):
+    #   1. bench_baseline.json (committed pin; method recorded inside)
+    #   2. .bench_baseline.json (local cache of a previous measurement)
+    #   3. fresh median-of-5 measurement, cached to (2)
+    pin = os.path.join(root, "bench_baseline.json")
+    cache = os.path.join(root, ".bench_baseline.json")
+    if os.path.exists(pin):
+        base = json.load(open(pin))["numpy_symbols_per_s"]
+    elif os.path.exists(cache):
         base = json.load(open(cache))["numpy_symbols_per_s"]
+        BASELINE_PINNED = False
     else:
-        base = _bench_numpy_reference()
-        json.dump({"numpy_symbols_per_s": base}, open(cache, "w"))
+        import statistics
+        base = statistics.median(_bench_numpy_reference() for _ in range(5))
+        json.dump({"numpy_symbols_per_s": base,
+                   "method": "median of 5 on this host"}, open(cache, "w"))
+        BASELINE_PINNED = False
 
     n_blocks, rounds = 128, 64
     cal_r, dec_r = 2, 6
@@ -199,12 +218,32 @@ def main() -> None:
                             cfg.calib.gd_steps)
 
     tpu, t_detect, sym_detect = _bench_tpu(n_blocks, rounds)
-    e2e, t_e2e, _ = _bench_tpu_e2e(n_blocks, cal_r, dec_r)
+    e2e, t_e2e, _, dec = _bench_tpu_e2e(n_blocks, cal_r, dec_r)
 
     f_detect = fl.cal_counters * rounds
-    f_e2e = fl.cal_full * cal_r + f_fit + fl.decode_blocks * dec_r
+    # decode FLOPs at the EXECUTED per-codeword iteration counts (pyldpc's
+    # own early-exit execution model; the telemetry reports the budget for
+    # never-converging codewords) — with the two-pass compaction the
+    # committed max_iter is no longer the executed count for converging
+    # codewords, so static max_iter accounting would overstate useful work
+    from esn_ofdm_mimo_tpu.utils.flops import BP_FLOPS_PER_EDGE
+    code_n, code_dv = cfg.ofdm.n_subcarriers * cfg.ofdm.bits_per_symbol, cfg.ldpc.dv
+    it_exec = sum(int(v) for v in dec.ldpc_iter_sum.values())
+    f_decode = it_exec * float(code_n * code_dv) * BP_FLOPS_PER_EDGE[cfg.ldpc.algo]
+    f_e2e = (fl.cal_full * cal_r + f_fit
+             + (fl.decode_blocks - fl.decode) * dec_r + f_decode)
     mfu_detect = f_detect / t_detect / V5E_PEAK_FLOPS
     mfu_e2e = f_e2e / t_e2e / V5E_PEAK_FLOPS
+    # decode-phase wall time: the e2e dispatch minus its detect-equivalent
+    # rounds (measured per-round detect cost) and the calibrator fit —
+    # the residual is the BP decode phase (approximation documented in
+    # PARITY.md "Decode-phase study")
+    t_round_detect = t_detect / rounds
+    t_dec_phase = max(t_e2e - (cal_r + dec_r) * t_round_detect
+                      - f_fit / V5E_PEAK_FLOPS, 1e-9)
+    mfu_decode = f_decode / t_dec_phase / V5E_PEAK_FLOPS
+    unconv = {d: int(dec.ldpc_unconverged[d]) / max(int(dec.ldpc_codewords), 1)
+              for d in dec.ldpc_unconverged}
     print(json.dumps({
         "metric": "cdl_4x8_detected_symbols_per_s_per_chip",
         "value": round(tpu, 2),
@@ -213,7 +252,10 @@ def main() -> None:
         "e2e_decoded_symbols_per_s": round(e2e, 2),
         "mfu_detect": round(mfu_detect, 4),
         "mfu_e2e": round(mfu_e2e, 4),
+        "mfu_decode": round(mfu_decode, 4),
+        "bp_unconverged_frac": {k: round(v, 4) for k, v in unconv.items()},
         "flops_per_detected_symbol": round(f_detect / sym_detect, 0),
+        "baseline_pinned": BASELINE_PINNED,
     }))
 
 

@@ -123,6 +123,19 @@ class EsnConfig:
     # max_delay defaults to ceil(isi_duration/2)+2 at pipeline level when None
     max_delay: Optional[int] = None
     train_ebno_fixed_db: Optional[float] = 12.0   # second, fixed-SNR-trained ESN
+    # ESN randomness granularity:
+    #   "batch" (default) — one reservoir draw + one state-noise stream
+    #     shared by the local batch (pipelines/common.py module docstring):
+    #     the recurrence is a single (B, n) @ (n, n) MXU matmul, but ESN
+    #     counters are only *statistically* reproducible across device
+    #     layouts (the classical detectors are always bit-identical).
+    #   "block" — reservoir, fit- and detect-noise streams all fold from
+    #     each block's own key: every counter is bit-identical for any
+    #     sharding/batching (SURVEY.md §4 contract), at the cost of a
+    #     batched (B, 1, n) @ (B, n, n) recurrence that re-streams B weight
+    #     matrices from HBM per step (measured throughput cost: PARITY.md
+    #     "ESN layout invariance").
+    rng_mode: str = "batch"
 
     def resolved_max_delay(self, isi_duration: int) -> int:
         if self.max_delay is not None:
@@ -171,12 +184,21 @@ class LdpcConfig:
     minsum_scale: float = 0.75
     # BP update schedule: "flooding" = pyldpc's parallel updates (the parity
     # default); "layered" (QC family only) = serial-C row-layered sweeps —
-    # information propagates ~2x faster per sweep, so HALF the max_iter
-    # budget reaches the flooding fixed point at equal BER (validated per
-    # preset: tools/validate_baseline.py + tools/compare_curves.py runs).
-    # Presets that opt in pair schedule="layered" with max_iter=50 to cut
-    # the decode-bound e2e time ~2x at unchanged BER.
+    # converges in ~half the flooding iterations at equal-or-better BER
+    # (measured: tools/bench_ldpc_sched.py on TPU). NOTE the measured
+    # caveat: one layered sweep costs ~2.4x a flooding iteration inside the
+    # fused kernel (the dv row updates serialise), so layered@K/2 is NOT a
+    # wall-clock win over flooding@K on TPU — the straggler-compaction
+    # two-pass below is the decode-time lever; flooding stays the default.
     schedule: str = "flooding"
+    # Two-pass straggler compaction (Pallas QC decoder only): decode at a
+    # small budget first, then stable-sort-pack the unconverged codewords
+    # into dense tiles and re-run them from scratch at the full budget.
+    # BIT-EXACT vs the single-pass decode (per-codeword BP trajectories are
+    # deterministic; equality asserted in tests/test_ldpc_qc.py), it only
+    # removes the iterations wasted by converged lanes sharing a tile with
+    # a straggler. None disables.
+    pass1_iters: Optional[int] = 16
 
 
 @dataclasses.dataclass(frozen=True)

@@ -26,7 +26,14 @@ def siso_qpsk_awgn(fast: bool = False) -> SimConfig:
                               flat_scalar_ls=True),
         esn=EsnConfig(n_reservoir=200, min_delay=0, max_delay=0,
                       train_ebno_fixed_db=None),
-        ldpc=LdpcConfig(max_iter=100, yobs_half=False, sigma2_mode="true_no"),
+        # qc (round 3): same (4,8)-regular ensemble at n=1024 (Z=128) as the
+        # reference's pyldpc draw — the last preset still on the slow XLA
+        # Gallager path; decode contract (y_obs unhalved, sigma2 = No,
+        # Demo_SISO...:283-296) is family-independent. BER validated vs the
+        # committed Gallager curve (results/siso_qpsk_awgn_tpu_qc,
+        # tools/compare_curves.py)
+        ldpc=LdpcConfig(max_iter=100, yobs_half=False, sigma2_mode="true_no",
+                        family="qc"),
         ebno_db=_EBNO_FAST if fast else _EBNO_FULL,
         num_ofdm_symbols=n_symbols)
 

@@ -52,13 +52,18 @@ def main(argv=None) -> None:
                          "post_pa = PA output (easier target, measured lower "
                          "high-SNR floor). Default: preset's (post_pa)")
     ap.add_argument("--adaptive-min-errors", type=int, default=None,
-                    help="sequential MC (CDL pipeline): keep decoding extra "
-                         "blocks at each SNR until every detector has this "
-                         "many coded errors (or the --adaptive-max-blocks "
-                         "cap) — concentrates blocks at the waterfall cliff")
+                    help="sequential MC (CDL + NBF pipelines): keep "
+                         "simulating extra blocks at each SNR until every "
+                         "detector has this many coded errors (or the "
+                         "--adaptive-max-blocks cap) — concentrates blocks "
+                         "at the waterfall cliff and the deep coded tail")
     ap.add_argument("--adaptive-max-blocks", type=int, default=None,
                     help="cap on decoded blocks per SNR for "
                          "--adaptive-min-errors (default 4x blocks-per-snr)")
+    ap.add_argument("--ebno-list", default=None,
+                    help="comma-separated Eb/N0 grid override (dB) — e.g. a "
+                         "fine 1 dB grid around the waterfall for the "
+                         "coded-vs-uncoded error-budget analysis")
     ap.add_argument("--resume", action="store_true",
                     help="resume from per-SNR checkpoints in outdir")
     ap.add_argument("--trace", metavar="DIR", default=None,
@@ -73,6 +78,10 @@ def main(argv=None) -> None:
 
     maybe_init_distributed()
     cfg = get_preset(args.preset, fast=args.fast)
+    if args.ebno_list is not None:
+        import dataclasses
+        grid = tuple(float(x) for x in args.ebno_list.split(","))
+        cfg = dataclasses.replace(cfg, ebno_db=grid)
     if args.esn_target is not None:
         import dataclasses
         cfg = dataclasses.replace(
@@ -113,7 +122,9 @@ def main(argv=None) -> None:
                                 blocks_per_device=args.blocks_per_device,
                                 mesh=mesh, seed=args.seed, checkpoint=ckpt,
                                 progress=progress,
-                                rounds_per_call=args.rounds_per_call)
+                                rounds_per_call=args.rounds_per_call,
+                                adaptive_min_errors=args.adaptive_min_errors,
+                                adaptive_max_blocks=args.adaptive_max_blocks)
             save_nbf_results(outdir, cfg, res)
     log.log("run_done", seconds=round(time.time() - t0, 1), outdir=outdir)
 

@@ -60,7 +60,7 @@ def _leave_one_out_prod(t: jnp.ndarray) -> jnp.ndarray:
 def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100,
                    algo: str = "sumprod", minsum_scale: float = 0.75,
                    return_stats: bool = False, max_iter_bound=None,
-                   schedule: str = "flooding"):
+                   schedule: str = "flooding", pass1_iters=None):
     """Decode B codewords. llr (B, n) channel LLRs (positive <=> bit 0).
 
     algo="sumprod" reproduces pyldpc's tanh-rule updates (the parity
@@ -80,6 +80,11 @@ def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100,
     QC codes decode on their full lifted graph (the same graph on every
     backend): through the fused Pallas kernel on TPU, or through this XLA
     decoder with the natural-order index tensors elsewhere.
+
+    pass1_iters=K1 (Pallas path only; ignored elsewhere) enables the
+    bit-exact two-pass straggler compaction documented in
+    ldpc_decode_bp_pallas — identical bits and stats, ~2-4x less decode
+    time whenever stragglers pin tiles to the full budget.
 
     Returns hard codeword bits (B, n) int8. With return_stats=True also
     returns {"iterations": (B,) int32 first zero-syndrome iteration (0 =
@@ -113,7 +118,8 @@ def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100,
             return ldpc_decode_bp_pallas(code, llr, max_iter, algo,
                                          minsum_scale, return_stats,
                                          iter_cap=iter_cap,
-                                         schedule=schedule)
+                                         schedule=schedule,
+                                         pass1_iters=pass1_iters)
         # XLA path on the identical full QC graph, in natural column order
         llr_nat = llr[:, jnp.asarray(code.qc.inv_perm)]
         if schedule == "layered":

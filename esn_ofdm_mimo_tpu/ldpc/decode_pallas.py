@@ -247,7 +247,8 @@ def ldpc_decode_bp_pallas(code: LdpcCode, llr: jnp.ndarray,
                           max_iter: int = 100, algo: str = "sumprod",
                           minsum_scale: float = 0.75,
                           return_stats: bool = False,
-                          iter_cap=None, schedule: str = "flooding"):
+                          iter_cap=None, schedule: str = "flooding",
+                          pass1_iters=None):
     """Drop-in fast path for ldpc_decode_bp on QC codes (TPU backends).
 
     llr (B, n) channel LLRs in pipeline bit order; returns hard bits (B, n)
@@ -256,6 +257,21 @@ def ldpc_decode_bp_pallas(code: LdpcCode, llr: jnp.ndarray,
     may be a TRACED scalar <= max_iter limiting the executed iterations —
     the NBF pipelines' per-SNR doubled budget rides one compiled kernel.
     schedule="layered" runs the serial-C row-layered sweep (see _bp_kernel).
+
+    pass1_iters=K1 enables BIT-EXACT two-pass straggler compaction: the
+    kernel's early exit is per 128-lane tile, so one unconverged codeword
+    pins its whole tile to the full budget (at 99.8% convergence ~1 tile in
+    4 still holds a straggler). Pass 1 decodes everything at budget K1;
+    codewords that converged are replaced by their decided bits as +-PAD
+    LLRs (zero syndrome at iteration 0 => the tile freezes before any BP
+    work) and a stable sort packs the stragglers into a few dense tiles,
+    which re-run FROM SCRATCH at the full budget. BP trajectories are
+    per-codeword deterministic, so re-running a straggler from iteration 0
+    reproduces the single-pass result exactly — bits AND iteration stats
+    are bit-identical to the single-pass decode (asserted in
+    tests/test_ldpc_qc.py), only the wasted straggler-tile iterations
+    disappear. Pyldpc parity is therefore untouched (reference maxiter
+    loop: OFDM_SISO_NBF_LDPC.py:484).
     """
     qc = code.qc
     assert qc is not None, "pallas decoder requires a QC code (make_qc_ldpc)"
@@ -273,19 +289,41 @@ def ldpc_decode_bp_pallas(code: LdpcCode, llr: jnp.ndarray,
     B, n = llr.shape
     Bp = -(-B // W) * W
     lc_nat = llr.astype(jnp.float32)[:, jnp.asarray(qc.inv_perm)]
-    lc_T = jnp.full((n, Bp), _PAD_LLR, jnp.float32)
-    lc_T = jax.lax.dynamic_update_slice(lc_T, lc_nat.T, (0, 0))
     qc_static = (int(qc.Z), int(code.dv), int(code.dc),
                  tuple(tuple(int(s) for s in row) for row in qc.shifts))
     cap = max_iter if iter_cap is None else iter_cap
     cap = jnp.minimum(jnp.asarray(cap, jnp.int32), jnp.int32(max_iter))
-    bits_T, stats = _decode_padded(None, lc_T, cap.reshape(1), int(max_iter),
-                                   algo, float(minsum_scale), qc_static,
-                                   schedule)
-    bits_nat = bits_T[:, :B].T                       # (B, n) natural order
+
+    def _run(lc_rows, run_cap):
+        lc_T = jnp.full((n, Bp), _PAD_LLR, jnp.float32)
+        lc_T = jax.lax.dynamic_update_slice(lc_T, lc_rows.T, (0, 0))
+        bits_T, stats = _decode_padded(None, lc_T, run_cap.reshape(1),
+                                       int(max_iter), algo,
+                                       float(minsum_scale), qc_static,
+                                       schedule)
+        bits_nat = bits_T[:, :B].T                   # (B, n) natural order
+        it = stats[0, :B].astype(jnp.int32)
+        conv = stats[1, :B] > 0.5
+        return bits_nat, it, conv
+
+    if pass1_iters is not None and int(pass1_iters) < int(max_iter):
+        k1 = jnp.minimum(jnp.int32(int(pass1_iters)), cap)
+        b1, it1, cv1 = _run(lc_nat, k1)
+        # converged rows re-enter as their decided bits at +-PAD (zero
+        # syndrome at iteration 0 -> frozen before any BP iteration);
+        # stable sort packs stragglers (False first) into dense tiles
+        order = jnp.argsort(cv1, stable=True)
+        lc2 = jnp.where(cv1[:, None], _PAD_LLR * (1.0 - 2.0 * b1), lc_nat)
+        b2, it2, cv2 = _run(lc2[order], cap)
+        inv = jnp.argsort(order, stable=True)
+        b2, it2, cv2 = b2[inv], it2[inv], cv2[inv]
+        bits_nat = jnp.where(cv1[:, None], b1, b2)
+        it = jnp.where(cv1, it1, it2)
+        conv = cv1 | cv2
+    else:
+        bits_nat, it, conv = _run(lc_nat, cap)
+
     bits = bits_nat[:, jnp.asarray(qc.perm)].astype(jnp.int8)
     if return_stats:
-        it = stats[0, :B].astype(jnp.int32)
-        converged = stats[1, :B] > 0.5
-        return bits, {"iterations": it, "converged": converged}
+        return bits, {"iterations": it, "converged": conv}
     return bits

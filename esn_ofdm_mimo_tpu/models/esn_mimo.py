@@ -134,6 +134,70 @@ def esn_detect_symbols(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
     return jnp.moveaxis(X_hat, -2, -1)               # (B, N, n_tx)
 
 
+def map_blocks_stable(fn, xs):
+    """lax.map with a guaranteed trip count >= 2.
+
+    XLA's while-loop simplifier fully unrolls single-trip loops and
+    re-fuses the body into the surrounding program, producing bit-DIFFERENT
+    results than the same body executed inside a real loop (measured:
+    trip 1 vs 8 differ in the last ulp, trips 2/4/8 are bit-identical).
+    A one-block local batch (e.g. blocks_per_device=1 on a full mesh) is
+    exactly the layout the rng_mode="block" bit-invariance contract must
+    cover, so pad with a duplicate entry and drop its output."""
+    B = jax.tree.leaves(xs)[0].shape[0]
+    if B >= 2:
+        return jax.lax.map(fn, xs)
+    xs_p = jax.tree.map(lambda x: jnp.concatenate([x, x[:1]], axis=0), xs)
+    out = jax.lax.map(fn, xs_p)
+    return jax.tree.map(lambda x: x[:B], out)
+
+
+def train_mimo_esn_per_block(res_b: EsnReservoir, scale: EsnScale,
+                             y_cp: jnp.ndarray, x_cp: jnp.ndarray,
+                             delay: int, cp_len: int, keys) -> jnp.ndarray:
+    """Layout-invariant fit (EsnConfig.rng_mode="block"): res_b is a
+    vmapped-batched reservoir (leaves with leading B) and `keys` (B,) are
+    per-block noise keys, so every block's reservoir AND state-noise stream
+    fold from its own key — sharded counters become bit-identical to a
+    single-device run for any batching (SURVEY.md §4). Routes through the
+    XLA scan (the fused Pallas kernels assume a batch-shared reservoir).
+
+    lax.map, not vmap, on purpose: vmap re-batches the per-block program,
+    and XLA reassociates its reductions differently at different batch
+    sizes — bit-different last-ulp results per batch count (measured:
+    power-iteration radius already differs). lax.map compiles the ONE-block
+    body once, so every block runs the identical program whatever the
+    local batch size — the bit-invariance this mode exists for."""
+    def one(args):
+        res, y, x, k = args
+        X_in, X_out = build_esn_io(y[None], x[None], delay)
+        return esn_fit(res, scale, X_in, X_out, delay + cp_len, k)[0]
+
+    return map_blocks_stable(one, (res_b, y_cp, x_cp, keys))
+
+
+def esn_detect_symbols_per_block(res_b: EsnReservoir, scale: EsnScale,
+                                 Wt_out: jnp.ndarray, y_cp: jnp.ndarray,
+                                 delay: int, cp_len: int, n_subcarriers: int,
+                                 power_scale, keys) -> jnp.ndarray:
+    """Layout-invariant detect: y_cp (B, D, n_rx, N+cp) — block b's D data
+    symbols run against ITS reservoir/readout with a noise stream folded
+    from its own key. Returns X_hat (B, D, N, n_tx). lax.map (not vmap)
+    for the same bit-invariance reason as train_mimo_esn_per_block."""
+    N = n_subcarriers
+
+    def one(args):
+        res, W, y, k = args
+        X_in = build_esn_input(y, delay)          # (D, T+delay, 2*n_rx)
+        pred = esn_predict(res, scale, W[None], X_in, delay + cp_len, k)
+        x_hat_td = _deinterleave_reim(pred[:, :N])   # (D, n_tx, N)
+        X_hat = fft_mxu(x_hat_td, axis=-1) / N
+        X_hat = X_hat / jnp.asarray(power_scale)[..., None, None]
+        return jnp.moveaxis(X_hat, -2, -1)           # (D, N, n_tx)
+
+    return map_blocks_stable(one, (res_b, Wt_out, y_cp, keys))
+
+
 def esn_nmse(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
              y_cp: jnp.ndarray, x_cp: jnp.ndarray, delay: int, cp_len: int,
              isi_duration: int, key) -> jnp.ndarray:

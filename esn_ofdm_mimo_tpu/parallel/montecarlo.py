@@ -169,7 +169,9 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
                   mesh=None, seed: Optional[int] = None,
                   progress: Optional[Callable[[str], None]] = print,
                   checkpoint=None, step_factory=None,
-                  rounds_per_call: int = 4) -> CurveResult:
+                  rounds_per_call: int = 4,
+                  adaptive_min_errors: Optional[int] = None,
+                  adaptive_max_blocks: Optional[int] = None) -> CurveResult:
     """Run the full SNR sweep of a block-fading experiment.
 
     blocks_per_snr is rounded up to a whole number of dispatches
@@ -177,6 +179,16 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
     `rounds_per_call` rounds are scanned inside one dispatch to amortise
     the per-dispatch relay latency. A custom `step_factory` (fault-injection
     tests) keeps the legacy one-round-per-dispatch signature.
+
+    adaptive_min_errors: sequential Monte-Carlo, same rule as run_cdl_curve —
+    after the base budget at an SNR point, keep simulating extra rounds until
+    EVERY detector has at least this many coded info-bit errors, or the
+    adaptive_max_blocks cap (default 4x blocks_per_snr) is hit. Deep-tail
+    coded points (e.g. the 2x2 30 dB mmse_coded column) are carried by a
+    handful of codewords at the base budget; the error-count rule pins their
+    relative CI (~1/sqrt(n_err)) instead of their block count. Extra rounds
+    extend the same per-(snr, global-block-id) key stream, so an adaptive
+    run is a superset of the fixed-budget run's sample.
     """
     mesh = mesh if mesh is not None else trials_mesh()
     n_dev = mesh.devices.size
@@ -200,6 +212,42 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
                          if np.issubdtype(np.asarray(x).dtype, np.integer)
                          else np.asarray(x, dtype=np.float64), counts))
 
+    # reuse the already-built scan step for adaptive top-ups (same traced
+    # program as the base rounds); built lazily for the step_factory path
+    adapt_state = {"step": step if step_factory is None else None}
+
+    def _adaptive_topup(jj, ebno, acc, base_blocks):
+        """Sequential-MC extension: extra scanned rounds at this SNR until
+        every detector's coded error count reaches adaptive_min_errors (or
+        the block cap). Key ids continue past the base budget's."""
+        if not adaptive_min_errors or not cfg.ldpc.enabled:
+            return acc
+        max_blocks = (4 * blocks_per_snr if adaptive_max_blocks is None
+                      else adaptive_max_blocks)
+        if adapt_state["step"] is None:
+            adapt_state["step"] = make_sharded_nbf_scan_step(cfg, mesh)
+        astep = adapt_state["step"]
+        Ra = max(1, rounds_per_call)
+        blocks = bid = base_blocks
+        extra = 0
+        while (min(int(v) for v in acc.info_errors.values())
+               < adaptive_min_errors and blocks < max_blocks):
+            n_rounds = min(Ra, max(1, (max_blocks - blocks) // G))
+            ids = jnp.arange(bid, bid + n_rounds * G, dtype=jnp.uint32)
+            bid += n_rounds * G
+            blocks += n_rounds * G
+            extra += n_rounds * G
+            keys = block_keys(root, jj, ids)
+            keys = keys.reshape(n_rounds, G, *keys.shape[1:])
+            cnt = _to_host(_call_with_retry(astep, (jnp.float32(ebno), keys),
+                                            progress=progress))
+            acc = _tree_add(acc, cnt)
+        if progress is not None and extra:
+            errs = {d: int(v) for d, v in acc.info_errors.items()}
+            progress(f"[mc] EbNo={ebno:g} dB adaptive: +{extra} blocks "
+                     f"({blocks} total), coded errors {errs}")
+        return acc
+
     # whole-grid fusion: one dispatch per experiment (int32 counter guard)
     total_rounds = rounds if step_factory is not None else rounds * R
     bits_per_snr = (total_rounds * G * cfg.data_symbols_per_block
@@ -209,7 +257,9 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
             and bits_per_snr < 1.9e9):
         grid = make_fused_nbf_grid(cfg, mesh, blocks_per_device, total_rounds)
         stacked = _to_host(_call_with_retry(grid, (root,), progress=progress))
-        acc_per_snr = [jax.tree.map(lambda x: x[jj], stacked)
+        acc_per_snr = [_adaptive_topup(jj, ebnos[jj],
+                                       jax.tree.map(lambda x: x[jj], stacked),
+                                       total_rounds * G)
                        for jj in range(len(ebnos))]
         if progress is not None:
             for jj, ebno in enumerate(ebnos):
@@ -236,6 +286,8 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
                                       progress=progress)
             counts = _to_host(counts)
             acc = counts if acc is None else _tree_add(acc, counts)
+        if step_factory is None:
+            acc = _adaptive_topup(jj, ebno, acc, rounds * R * G)
         acc_per_snr.append(acc)
         if checkpoint is not None:
             checkpoint.save(jj, acc)
@@ -456,6 +508,13 @@ def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
             "calib": {d: (np.asarray(calib[d][0]).tolist(),
                           np.asarray(calib[d][1]).tolist())
                       for d in calib},
+            # BP convergence telemetry (budget counted for unconverged)
+            "ldpc_avg_iters": {
+                d: int(coded.ldpc_iter_sum[d]) / max(int(coded.ldpc_codewords), 1)
+                for d in coded.ldpc_iter_sum},
+            "ldpc_unconverged_frac": {
+                d: int(coded.ldpc_unconverged[d]) / max(int(coded.ldpc_codewords), 1)
+                for d in coded.ldpc_unconverged},
         }
         results.append(snr_res)
         if checkpoint is not None:

@@ -111,7 +111,8 @@ def run_nbf_blocks(cfg: SimConfig, ebno_db, bkeys,
                                        minsum_scale=cfg.ldpc.minsum_scale,
                                        return_stats=True,
                                        max_iter_bound=2 * cfg.ldpc.max_iter,
-                                       schedule=cfg.ldpc.schedule)
+                                       schedule=cfg.ldpc.schedule,
+                                       pass1_iters=cfg.ldpc.pass1_iters)
             u_hat = d_hat[:, code.m:].reshape(B, Dd, n_tx, code.k)
             info_errors[name] = jnp.sum((u_hat != u_sel).astype(jnp.int32))
             iter_sum[name] = jnp.sum(st["iterations"])

@@ -41,6 +41,12 @@ class CdlCounts(NamedTuple):
     total_bits: jnp.ndarray
     info_errors: dict
     total_info_bits: jnp.ndarray
+    # BP early-termination telemetry (same convention as NbfCounts):
+    # per-detector sum of per-codeword iterations-to-convergence (budget for
+    # unconverged), #codewords with nonzero final syndrome, #codewords
+    ldpc_iter_sum: dict
+    ldpc_unconverged: dict
+    ldpc_codewords: jnp.ndarray
 
 
 def _llrs_for(cfg: SimConfig, Xh: jnp.ndarray, m: int) -> jnp.ndarray:
@@ -150,7 +156,7 @@ def run_cdl_decode_blocks(cfg: SimConfig, ebno_db, bkeys,
     errs = _uncoded_counts(code_bits, data.X_hat, m)
 
     B = code_bits.shape[0]
-    info_errors = {}
+    info_errors, iter_sum, unconv = {}, {}, {}
     for name, Xh in data.X_hat.items():
         llr = _llrs_for(cfg, Xh, m)                     # (B, D, n_tx, N, m)
         a, b = calib[name]                              # (m,), (m,)
@@ -158,14 +164,21 @@ def run_cdl_decode_blocks(cfg: SimConfig, ebno_db, bkeys,
                            cfg.ldpc.llr_clip)
         y_obs = 0.5 * llr_cal.reshape(B, D, n_tx, N * m)
         Lc = llr_from_yobs(y_obs, snr_db=1.0)
-        d_hat = ldpc_decode_bp(code, Lc.reshape(-1, N * m), cfg.ldpc.max_iter,
-                               algo=cfg.ldpc.algo,
-                               minsum_scale=cfg.ldpc.minsum_scale,
-                               schedule=cfg.ldpc.schedule)
+        d_hat, st = ldpc_decode_bp(code, Lc.reshape(-1, N * m),
+                                   cfg.ldpc.max_iter,
+                                   algo=cfg.ldpc.algo,
+                                   minsum_scale=cfg.ldpc.minsum_scale,
+                                   return_stats=True,
+                                   schedule=cfg.ldpc.schedule,
+                                   pass1_iters=cfg.ldpc.pass1_iters)
         u_hat = d_hat[:, code.m:].reshape(B, D, n_tx, code.k)
         info_errors[name] = jnp.sum((u_hat != info_bits).astype(jnp.int32))
+        iter_sum[name] = jnp.sum(st["iterations"])
+        unconv[name] = jnp.sum((~st["converged"]).astype(jnp.int32))
 
     return CdlCounts(bit_errors=errs,
                      total_bits=jnp.asarray(code_bits.size, jnp.int32),
                      info_errors=info_errors,
-                     total_info_bits=jnp.asarray(info_bits.size, jnp.int32))
+                     total_info_bits=jnp.asarray(info_bits.size, jnp.int32),
+                     ldpc_iter_sum=iter_sum, ldpc_unconverged=unconv,
+                     ldpc_codewords=jnp.asarray(B * D * n_tx, jnp.int32))

@@ -29,7 +29,9 @@ import jax.numpy as jnp
 
 from ..config import SimConfig
 from ..models.esn import EsnReservoir, EsnScale, init_reservoir
-from ..models.esn_mimo import train_mimo_esn, esn_detect_symbols
+from ..models.esn_mimo import (train_mimo_esn, train_mimo_esn_per_block,
+                               esn_detect_symbols,
+                               esn_detect_symbols_per_block)
 from ..ops import (
     bits_to_symbols, ofdm_modulate, ofdm_demodulate,
     draw_exp_pdp_taps, draw_cdlb_taps, draw_flat_awgn_tap,
@@ -187,23 +189,40 @@ def synth_block(cfg: SimConfig, ebno_db, bkeys, esn_over=None,
         H_ls, H_mmse = estimate_channel(
             Y_ls, X_ls, sqrt_pi, n_tx, isi, No, pi)
 
-    # ---- ESN training (batch-shared reservoir, see module docstring) ----
+    # ---- ESN training (batch-shared reservoir by default; rng_mode="block"
+    # draws one reservoir per block for layout-invariant counters) ----
     ov = esn_over or {}
-    res = init_reservoir(
-        fold_key(bkeys[0], _K_RESERVOIR), 2 * n_rx, 2 * n_tx,
-        esn_cfg.n_reservoir,
-        ov.get("spectral_radius", esn_cfg.spectral_radius),
-        ov.get("sparsity", esn_cfg.sparsity),
-        ov.get("noise", esn_cfg.noise))
+    per_block = esn_cfg.rng_mode == "block"
+
+    def _one_reservoir(k):
+        return init_reservoir(
+            fold_key(k, _K_RESERVOIR), 2 * n_rx, 2 * n_tx,
+            esn_cfg.n_reservoir,
+            ov.get("spectral_radius", esn_cfg.spectral_radius),
+            ov.get("sparsity", esn_cfg.sparsity),
+            ov.get("noise", esn_cfg.noise))
+
+    # lax.map (not vmap) in block mode: the one-block body compiles once,
+    # so the draw is bit-identical for any local batch size (vmap's
+    # re-batched reductions are not — see train_mimo_esn_per_block)
+    from ..models.esn_mimo import map_blocks_stable
+    res = (map_blocks_stable(_one_reservoir, bkeys) if per_block
+           else _one_reservoir(bkeys[0]))
     delay = esn_cfg.shared_delay(isi)
+
+    def _fit(sc, y, x, tag):
+        if per_block:
+            return train_mimo_esn_per_block(res, sc, y, x, delay, cp,
+                                            _vfold(bkeys, tag))
+        return train_mimo_esn(res, sc, y, x, delay, cp,
+                              fold_key(bkeys[0], tag))
     in_scaler = ov.get("input_scaler", esn_cfg.input_scaler)
     t_scaling = ov.get("teacher_scaling", esn_cfg.teacher_scaling)
     scale_m = EsnScale(
         input_scaling=jnp.asarray(in_scaler) / jnp.sqrt(var_x),
         input_shift=jnp.float32(esn_cfg.input_offset / esn_cfg.input_scaler),
         teacher_scaling=jnp.asarray(t_scaling, dtype=jnp.float32))
-    Wt_out_m = train_mimo_esn(res, scale_m, y_cp, x_tgt, delay, cp,
-                              fold_key(bkeys[0], _K_ESNFIT))
+    Wt_out_m = _fit(scale_m, y_cp, x_tgt, _K_ESNFIT)
 
     scale_f = None
     Wt_out_f = None
@@ -221,9 +240,8 @@ def synth_block(cfg: SimConfig, ebno_db, bkeys, esn_over=None,
             input_scaling=jnp.asarray(in_scaler) / jnp.sqrt(var_f),
             input_shift=jnp.float32(esn_cfg.input_offset / esn_cfg.input_scaler),
             teacher_scaling=jnp.float32(esn_cfg.teacher_scaling))
-        Wt_out_f = train_mimo_esn(res, scale_f, y_cp_f,
-                                  _esn_target(cfg, x_cp_f, x_clean_f),
-                                  delay, cp, fold_key(bkeys[0], _K_ESNFIT_F))
+        Wt_out_f = _fit(scale_f, y_cp_f,
+                        _esn_target(cfg, x_cp_f, x_clean_f), _K_ESNFIT_F)
 
     state = BlockState(taps=taps, H_true=H_true, H_ls=H_ls, H_mmse=H_mmse,
                        reservoir=res, scale_m=scale_m, scale_f=scale_f,
@@ -276,7 +294,15 @@ def detect_data_symbols(cfg: SimConfig, state: BlockState, ebno_db, bkeys,
     X_hat = {}
     delay = cfg.esn.shared_delay(ofdm.isi_duration)
 
+    per_block = cfg.esn.rng_mode == "block"
+
     def _esn(scale, Wt_out, tag):
+        if per_block:
+            # layout-invariant mode: block b's symbols run on ITS reservoir
+            # with a noise stream folded from its own key
+            return esn_detect_symbols_per_block(
+                state.reservoir, scale, Wt_out, y_cp, delay, cp, N, sqrt_pi,
+                _vfold(bkeys, _K_DETECT, tag))
         # rows are block-major (D contiguous symbols per block), so the
         # (B, F, n_out) readout is passed grouped — esn_predict batches the
         # per-step readout contraction per block instead of re-reading a

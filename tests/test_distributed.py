@@ -87,3 +87,70 @@ def test_two_process_distributed_matches_single_process(tmp_path):
         assert errs == [int(x) for x in np.asarray(ref.bit_errors[det])], det
     np.testing.assert_allclose(dist["capacity_sum"],
                                np.asarray(ref.capacity_sum), rtol=1e-5)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("n_procs,dpp", [(2, 2), (4, 1)])
+def test_multi_process_cdl_fused_path(tmp_path, n_procs, dpp):
+    """The flagship fused CDL SNR program (cal + calibrator fit + LDPC
+    decode, make_fused_cdl_snr_step) across real jax.distributed processes,
+    including an asymmetric decomposition (4 procs x 1 device), must match
+    the single-process 4-device run: with rng_mode='block' the uncoded
+    counters are bit-identical; decoded counters get the codeword-flip band
+    (ulp-level batch-shape sensitivity of the XLA CPU matmul — see
+    test_rng_mode_block_is_layout_invariant); calibrators are float-close.
+    VERDICT r02 #8."""
+    from cdl_dist_common import cdl_cfg, make_cdl_root_step
+
+    coord = f"127.0.0.1:{_free_port()}"
+    out_file = tmp_path / "proc0.json"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, coord, str(n_procs), str(pid),
+             str(out_file), "cdl", str(dpp)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=os.path.dirname(os.path.dirname(_WORKER)))
+        for pid in range(n_procs)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        logs.append(out.decode(errors="replace"))
+    rcs = [p.returncode for p in procs]
+    assert rcs == [0] * n_procs, "worker rcs=%s\n%s" % (
+        rcs, "\n---\n".join(l[-2000:] for l in logs))
+    dist = json.loads(out_file.read_text())
+    assert dist["process_count"] == n_procs
+    assert dist["device_count"] == 4
+
+    cfg = cdl_cfg()
+    errs, tot, dec, calib = make_cdl_root_step(cfg, trials_mesh(4))(
+        jax.random.PRNGKey(cfg.seed))
+
+    assert dist["cal_total_bits"] == int(tot)
+    assert dist["dec_total_bits"] == int(dec.total_bits)
+    assert dist["dec_total_info_bits"] == int(dec.total_info_bits)
+    for d in ("esn", "mmse"):
+        assert dist["cal_bit_errors"][d] == int(errs[d]), ("cal", d)
+        assert dist["dec_bit_errors"][d] == int(dec.bit_errors[d]), ("dec", d)
+        a_ref, b_ref = calib[d]
+        np.testing.assert_allclose(dist["calib"][d][0], np.asarray(a_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(dist["calib"][d][1], np.asarray(b_ref),
+                                   rtol=1e-4, atol=1e-4)
+    k_info = int(dec.total_info_bits) // (
+        int(dec.ldpc_codewords) if int(dec.ldpc_codewords) else 1)
+    for d in ("esn", "mmse"):
+        diff = abs(dist["dec_info_errors"][d] - int(dec.info_errors[d]))
+        assert diff <= 2 * k_info, (d, dist["dec_info_errors"][d],
+                                    int(dec.info_errors[d]))

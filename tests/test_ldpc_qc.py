@@ -259,3 +259,42 @@ def test_pallas_traced_iter_cap_matches_xla_budget(cap):
     ref_it = np.asarray(ref_stats["iterations"])
     got_it = np.asarray(stats["iterations"])
     assert (ref_it == got_it).mean() > 0.9, (ref_it, got_it)
+
+
+def test_two_pass_compaction_is_bit_exact():
+    """pass1_iters straggler compaction must reproduce the single-pass
+    decode EXACTLY — bits, iteration counts and convergence flags — since
+    per-codeword BP trajectories are deterministic and converged decisions
+    freeze at the first zero syndrome (the preset-default perf mode,
+    LdpcConfig.pass1_iters)."""
+    from unittest import mock
+    from esn_ofdm_mimo_tpu.ldpc import decode_pallas
+
+    code = make_qc_ldpc(512)
+    B = 48
+    _, llr = _awgn_llrs(code, B, 2.0, seed=31)  # mix of fast/slow/stuck cws
+
+    with jax.disable_jit():
+        import jax.experimental.pallas as pl  # noqa: F401
+        orig = pl.pallas_call
+
+        def interp_call(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        with mock.patch.object(decode_pallas.pl, "pallas_call", interp_call):
+            b1, s1 = decode_pallas.ldpc_decode_bp_pallas(
+                code, jnp.asarray(llr), 25, "sumprod", 0.75, True)
+            b2, s2 = decode_pallas.ldpc_decode_bp_pallas(
+                code, jnp.asarray(llr), 25, "sumprod", 0.75, True,
+                pass1_iters=6)
+
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(s1["iterations"]),
+                                  np.asarray(s2["iterations"]))
+    np.testing.assert_array_equal(np.asarray(s1["converged"]),
+                                  np.asarray(s2["converged"]))
+    # the pass-1 budget actually split the batch (some converged by 6,
+    # some did not) — otherwise this test exercises nothing
+    it = np.asarray(s1["iterations"])
+    assert (it <= 6).any() and (it > 6).any()

@@ -186,6 +186,93 @@ def test_cdl_adaptive_min_errors_extends_sampling():
     assert not any("adaptive" in m and "EbNo=0 dB" in m for m in msgs2), msgs2
 
 
+def test_rng_mode_block_is_layout_invariant():
+    """EsnConfig.rng_mode='block': reservoir + fit/detect noise streams fold
+    from each block's own key, so UNCODED ESN counters become BIT-identical
+    across device layouts — the contract the default batched mode meets only
+    statistically (test_sharded_step_matches_single_device's 0.1 band).
+
+    Post-LDPC counters get a tiny tolerance band — for EVERY detector, ESN
+    and classical alike — because the residual is NOT an ESN random
+    stream: the XLA CPU matmul is batch-shape-sensitive in the last ulp
+    (measured: the shared data waveform x_cp itself differs by ~3e-8
+    between an 8-block and a 2-block program — it contains no ESN
+    randomness at all; zf_perfect's coded counter flips by 1 across
+    layouts through the same mechanism), and iterative BP decode
+    occasionally flips an outcome on an ulp. See PARITY.md "ESN layout
+    invariance"."""
+    import dataclasses
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, esn=dataclasses.replace(cfg.esn, rng_mode="block"))
+    keys = block_keys(jax.random.PRNGKey(0), 0,
+                      jnp.arange(8, dtype=jnp.uint32))
+
+    full = make_sharded_nbf_step(cfg, trials_mesh(1))(jnp.float32(12.0), keys)
+    shard = make_sharded_nbf_step(cfg, trials_mesh(8))(jnp.float32(12.0), keys)
+    # band = two codeword-outcome flips: an ulp difference flips whole BP
+    # decode outcomes, not individual bits
+    k_info = int(full.total_info_bits) // int(full.ldpc_codewords)
+    for det in ("esn", "esn_fixed", "zf_perfect", "zf_ls", "mmse"):
+        assert int(full.bit_errors[det]) == int(shard.bit_errors[det]), det
+        a, b = int(full.info_errors[det]), int(shard.info_errors[det])
+        assert abs(a - b) <= 2 * k_info, (det, a, b)
+    assert int(full.total_bits) == int(shard.total_bits)
+
+
+def test_rng_mode_block_reservoir_and_readout_bitwise_stable():
+    """The per-block ESN objects themselves (reservoir draw + fitted
+    readout) are bit-identical whatever the local batch size — the direct
+    evidence that rng_mode='block' removes every ESN-side layout
+    dependence (map_blocks_stable keeps the one-block program identical
+    even for a padded single-block batch)."""
+    import dataclasses
+    from esn_ofdm_mimo_tpu.pipelines.common import synth_block
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, esn=dataclasses.replace(cfg.esn, rng_mode="block"))
+    keys = block_keys(jax.random.PRNGKey(0), 0,
+                      jnp.arange(4, dtype=jnp.uint32))
+    e = jnp.float32(12.0)
+    st4 = jax.jit(lambda k: synth_block(cfg, e, k))(keys)
+    st2 = jax.jit(lambda k: synth_block(cfg, e, k))(keys[2:4])
+    st1 = jax.jit(lambda k: synth_block(cfg, e, k))(keys[2:3])
+    # reservoir draw depends only on the block key: stable at any batch
+    np.testing.assert_array_equal(np.asarray(st4.reservoir.Wt[2]),
+                                  np.asarray(st1.reservoir.Wt[0]))
+    # fitted readout: stable across multi-block batchings (the pilot-chain
+    # inputs are only ulp-shape-sensitive at the unrolled 1-block program)
+    np.testing.assert_array_equal(np.asarray(st4.Wt_out_m[2]),
+                                  np.asarray(st2.Wt_out_m[0]))
+
+
+def test_nbf_adaptive_min_errors_extends_sampling():
+    """NBF sequential MC mirrors the CDL rule: error-starved SNR points get
+    extra rounds up to the cap; error-rich points stay at the base budget;
+    the adaptive run's counters are a superset of the fixed-budget run's
+    (same key stream, more blocks)."""
+    cfg = tiny_cfg()
+    base = run_nbf_curve(cfg, blocks_per_snr=8, blocks_per_device=1,
+                         mesh=trials_mesh(8), progress=None)
+    msgs = []
+    adapt = run_nbf_curve(cfg, blocks_per_snr=8, blocks_per_device=1,
+                          mesh=trials_mesh(8), progress=msgs.append,
+                          adaptive_min_errors=10 ** 9,  # unreachable target
+                          adaptive_max_blocks=16)
+    assert sum("adaptive" in m for m in msgs) == len(cfg.ebno_db), msgs
+    # every point decoded exactly the 16-block cap (base budget: 8 blocks)
+    np.testing.assert_array_equal(adapt.n_blocks, 16)
+    np.testing.assert_array_equal(base.n_blocks, 8)
+    assert (adapt.total_info_bits == 2 * base.total_info_bits).all()
+    # a 1-error target is satisfied inside the base budget at 6 dB (coded
+    # BER there is far above 1/total_info_bits for every detector)
+    msgs2 = []
+    run_nbf_curve(cfg, blocks_per_snr=8, blocks_per_device=1,
+                  mesh=trials_mesh(8), progress=msgs2.append,
+                  adaptive_min_errors=1, adaptive_max_blocks=16)
+    assert not any("adaptive" in m and "EbNo=6 dB" in m for m in msgs2), msgs2
+
+
 def test_esn_target_waveform_modes():
     """pre_pa (parity: reference trains on the clean x_CP while x_CP_NLD
     enters the channel) and post_pa (extension) must differ exactly when

@@ -123,6 +123,19 @@ class EsnConfig:
     # max_delay defaults to ceil(isi_duration/2)+2 at pipeline level when None
     max_delay: Optional[int] = None
     train_ebno_fixed_db: Optional[float] = 12.0   # second, fixed-SNR-trained ESN
+    # ESN recurrence matmul precision override. None (default) inherits the
+    # process default (1-pass bf16 dot + the fused Pallas predict kernel,
+    # validated BER-neutral down to the flagship's ~0.1 floors and ~25%
+    # faster detect). A non-None value routes detect/fit onto the XLA scan
+    # at that dot precision. Deep-floor presets need it: measured round 3
+    # on TPU (SISO-QPSK-AWGN, 21 dB, 6.5M bits), the PALLAS predict kernel
+    # floors the ESN at ~7.8e-4 uncoded BER — any code family, any data,
+    # diffuse <=3 errs/symbol — while the XLA scan is clean at BOTH bf16
+    # (15 errs) and f32 (16 errs) dot precision; the kernel's aggressive
+    # whole-operand bf16 casts (drive/feedback/readout), not the recurrence
+    # dot, carry the quantization. The flagship's ~0.1 floors sit far above
+    # it, so the kernel stays the default elsewhere.
+    recurrence_precision: Optional[str] = None
     # ESN randomness granularity:
     #   "batch" (default) — one reservoir draw + one state-noise stream
     #     shared by the local batch (pipelines/common.py module docstring):

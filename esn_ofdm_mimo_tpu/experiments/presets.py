@@ -24,8 +24,14 @@ def siso_qpsk_awgn(fast: bool = False) -> SimConfig:
                         coherence_override=n_symbols),
         channel=ChannelConfig(kind="awgn_flat", n_tx=1, n_rx=1,
                               flat_scalar_ls=True),
+        # recurrence_precision "highest": this preset's ESN floor (~1e-6
+        # uncoded at 21+ dB) sits far below the Pallas predict kernel's
+        # ~8e-4 quantization floor (measured on TPU with BOTH code
+        # families — the flagship's bf16-kernel validation does not
+        # transfer to deep-floor presets; see EsnConfig.recurrence_precision)
         esn=EsnConfig(n_reservoir=200, min_delay=0, max_delay=0,
-                      train_ebno_fixed_db=None),
+                      train_ebno_fixed_db=None,
+                      recurrence_precision="highest"),
         # qc (round 3): same (4,8)-regular ensemble at n=1024 (Z=128) as the
         # reference's pyldpc draw — the last preset still on the slow XLA
         # Gallager path; decode contract (y_obs unhalved, sigma2 = No,

@@ -49,11 +49,23 @@ _STATE_NOISE_IMPL = os.environ.get("ESN_TPU_STATE_NOISE", "rbg")
 # path, where "default" shifts curves (docs/ENVIRONMENT.md). The readout
 # solve stays pinned HIGHEST; drive/readout projections keep the global
 # default ("high").
-_RECURRENCE_PRECISION = {
+_PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
-}[os.environ.get("ESN_TPU_RECURRENCE_PRECISION", "default")]
+}
+_RECURRENCE_PRECISION = _PRECISIONS[
+    os.environ.get("ESN_TPU_RECURRENCE_PRECISION", "default")]
+
+
+def resolve_recurrence_precision(name=None):
+    """Per-call recurrence precision: None inherits the env/module default
+    (1-pass bf16). Presets whose true ESN floor sits BELOW the bf16
+    recurrence noise floor (~8e-4 uncoded on SISO-QPSK-AWGN, measured on
+    TPU round 3) pin this via EsnConfig.recurrence_precision — the bf16
+    default was validated BER-neutral only down to the flagship's ~0.1
+    floors."""
+    return _RECURRENCE_PRECISION if name is None else _PRECISIONS[name]
 
 # Readout solver selection (ESN_TPU_READOUT):
 #   ridge (default) — ridge-regularised Newton-Schulz normal equations
@@ -140,7 +152,8 @@ def _scale_inputs(scale: EsnScale, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def esn_states(res: EsnReservoir, scale: EsnScale, inputs: jnp.ndarray,
-               teachers_scaled: jnp.ndarray, noise_key) -> jnp.ndarray:
+               teachers_scaled: jnp.ndarray, noise_key,
+               precision=None) -> jnp.ndarray:
     """Harvest reservoir states with teacher forcing (pyESN.fit:179-182).
 
     inputs:          (B, T, n_in) — raw (unscaled) inputs
@@ -164,9 +177,11 @@ def esn_states(res: EsnReservoir, scale: EsnScale, inputs: jnp.ndarray,
         noise = res.noise * (jax.random.uniform(
             _noise_key(noise_key), (T - 1, B, n_res), dtype=s0.dtype) - 0.5)
 
+    prec = resolve_recurrence_precision(precision)
+
     def step(s, inp):
         c_n, z_n = inp
-        sw = jnp.matmul(s, res.Wt, precision=_RECURRENCE_PRECISION)
+        sw = jnp.matmul(s, res.Wt, precision=prec)
         s_next = jnp.tanh(sw + c_n) + z_n
         return s_next, s_next
 
@@ -249,7 +264,8 @@ def _readout_lstsq(ext: jnp.ndarray, tgt: jnp.ndarray,
 
 def esn_fit(res: EsnReservoir, scale: EsnScale, inputs: jnp.ndarray,
             outputs: jnp.ndarray, n_forget: int, noise_key,
-            rel_jitter: float = 1e-7, return_carry: bool = False):
+            rel_jitter: float = 1e-7, return_carry: bool = False,
+            precision=None):
     """Train the readout on B sequences sharing one reservoir.
 
     inputs (B, T, n_in), outputs (B, T, n_out) raw; returns Wt_out
@@ -265,7 +281,8 @@ def esn_fit(res: EsnReservoir, scale: EsnScale, inputs: jnp.ndarray,
     input — is only padding.)
     """
     teachers_scaled = outputs * scale.teacher_scaling
-    states = esn_states(res, scale, inputs, teachers_scaled, noise_key)
+    states = esn_states(res, scale, inputs, teachers_scaled, noise_key,
+                        precision=precision)
     u = _scale_inputs(scale, inputs)
     ext = jnp.concatenate([states, u], axis=-1)  # (B, T, F)
     Wt_out = _readout_lstsq(ext[:, n_forget:], teachers_scaled[:, n_forget:],
@@ -277,7 +294,7 @@ def esn_fit(res: EsnReservoir, scale: EsnScale, inputs: jnp.ndarray,
 
 def esn_predict(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
                 inputs: jnp.ndarray, n_forget: int, noise_key,
-                init_carry=None) -> jnp.ndarray:
+                init_carry=None, precision=None) -> jnp.ndarray:
     """Generate outputs with self-feedback (pyESN.predict).
 
     init_carry=None reproduces continuation=False (zero initial state/output,
@@ -328,6 +345,8 @@ def esn_predict(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
                       u.reshape(G, Dg * T, n_in), Wt_u).reshape(B, T, n_out)
     keys = jax.random.split(_noise_key(noise_key), T)
 
+    prec = resolve_recurrence_precision(precision)
+
     def step(carry, inp):
         s, o_prev = carry
         c_n, oi_n, k = inp
@@ -336,7 +355,7 @@ def esn_predict(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
         else:
             z_n = res.noise * (jax.random.uniform(k, s.shape,
                                                   dtype=s.dtype) - 0.5)
-        sw = jnp.matmul(s, res.Wt, precision=_RECURRENCE_PRECISION)
+        sw = jnp.matmul(s, res.Wt, precision=prec)
         s_next = jnp.tanh(sw + c_n + o_prev @ res.W_fb_t) + z_n
         o_next = read_states(s_next) + oi_n
         return (s_next, o_next), o_next

@@ -42,8 +42,14 @@ from ..ops.fft_mxu import fft_mxu
 ESN_IMPL = os.environ.get("ESN_TPU_IMPL", "auto")
 
 
-def _use_pallas(kind: str, B, T, n_res, n_in, n_out) -> bool:
+def _use_pallas(kind: str, B, T, n_res, n_in, n_out,
+                precision=None) -> bool:
     if ESN_IMPL == "xla":
+        return False
+    if precision is not None:
+        # the fused kernels hard-cast the recurrence to bf16 (Mosaic has no
+        # multi-pass dot precisions); a per-preset precision override means
+        # "this preset's floor is below bf16 noise" -> XLA f32 path
         return False
     import jax as _jax
     on_tpu = _jax.default_backend() not in ("cpu",)
@@ -90,26 +96,28 @@ def build_esn_input(y_cp: jnp.ndarray, delay: int) -> jnp.ndarray:
 
 
 def train_mimo_esn(res: EsnReservoir, scale: EsnScale, y_cp: jnp.ndarray,
-                   x_cp: jnp.ndarray, delay: int, cp_len: int, key
-                   ) -> jnp.ndarray:
+                   x_cp: jnp.ndarray, delay: int, cp_len: int, key,
+                   precision=None) -> jnp.ndarray:
     """Fit readouts for B coherence blocks; returns Wt_out (B, F, 2*n_tx)."""
     X_in, X_out = build_esn_io(y_cp, x_cp, delay)
     n_forget = delay + cp_len
     B, T, n_in = X_in.shape
     n_res = res.Wt.shape[0]
-    if _use_pallas("states", B, T, n_res, n_in, X_out.shape[-1]):
+    if _use_pallas("states", B, T, n_res, n_in, X_out.shape[-1], precision):
         from .esn_pallas import esn_states_pallas
         teachers_scaled = X_out * scale.teacher_scaling
         states = esn_states_pallas(res, scale, X_in, teachers_scaled, key)
         ext = jnp.concatenate([states, _scale_inputs(scale, X_in)], axis=-1)
         return _readout_lstsq(ext[:, n_forget:],
                               teachers_scaled[:, n_forget:])
-    return esn_fit(res, scale, X_in, X_out, n_forget, key)
+    return esn_fit(res, scale, X_in, X_out, n_forget, key,
+                   precision=precision)
 
 
 def esn_detect_symbols(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
                        y_cp: jnp.ndarray, delay: int, cp_len: int,
-                       n_subcarriers: int, power_scale, key) -> jnp.ndarray:
+                       n_subcarriers: int, power_scale, key,
+                       precision=None) -> jnp.ndarray:
     """Detect one OFDM symbol per batch row.
 
     y_cp (B, n_rx, N+cp) complex -> X_hat (B, N, n_tx) frequency symbols.
@@ -121,13 +129,14 @@ def esn_detect_symbols(res: EsnReservoir, scale: EsnScale, Wt_out: jnp.ndarray,
     n_forget = delay + cp_len
     B, T, n_in = X_in.shape
     n_res = res.Wt.shape[0]
-    if _use_pallas("predict", B, T, n_res, n_in, Wt_out.shape[-1]):
+    if _use_pallas("predict", B, T, n_res, n_in, Wt_out.shape[-1], precision):
         from .esn_pallas import esn_predict_pallas
         # grouped Wt_out passes through: the kernel turns the shared-readout
         # structure into masked MXU dots instead of per-lane VPU reduces
         pred = esn_predict_pallas(res, scale, Wt_out, X_in, n_forget, key)
     else:
-        pred = esn_predict(res, scale, Wt_out, X_in, n_forget, key)
+        pred = esn_predict(res, scale, Wt_out, X_in, n_forget, key,
+                           precision=precision)
     x_hat_td = _deinterleave_reim(pred[:, :N])       # (B, n_tx, N)
     X_hat = fft_mxu(x_hat_td, axis=-1) / N
     X_hat = X_hat / jnp.asarray(power_scale)[..., None, None]
@@ -154,7 +163,8 @@ def map_blocks_stable(fn, xs):
 
 def train_mimo_esn_per_block(res_b: EsnReservoir, scale: EsnScale,
                              y_cp: jnp.ndarray, x_cp: jnp.ndarray,
-                             delay: int, cp_len: int, keys) -> jnp.ndarray:
+                             delay: int, cp_len: int, keys,
+                             precision=None) -> jnp.ndarray:
     """Layout-invariant fit (EsnConfig.rng_mode="block"): res_b is a
     vmapped-batched reservoir (leaves with leading B) and `keys` (B,) are
     per-block noise keys, so every block's reservoir AND state-noise stream
@@ -171,7 +181,8 @@ def train_mimo_esn_per_block(res_b: EsnReservoir, scale: EsnScale,
     def one(args):
         res, y, x, k = args
         X_in, X_out = build_esn_io(y[None], x[None], delay)
-        return esn_fit(res, scale, X_in, X_out, delay + cp_len, k)[0]
+        return esn_fit(res, scale, X_in, X_out, delay + cp_len, k,
+                       precision=precision)[0]
 
     return map_blocks_stable(one, (res_b, y_cp, x_cp, keys))
 
@@ -179,7 +190,8 @@ def train_mimo_esn_per_block(res_b: EsnReservoir, scale: EsnScale,
 def esn_detect_symbols_per_block(res_b: EsnReservoir, scale: EsnScale,
                                  Wt_out: jnp.ndarray, y_cp: jnp.ndarray,
                                  delay: int, cp_len: int, n_subcarriers: int,
-                                 power_scale, keys) -> jnp.ndarray:
+                                 power_scale, keys,
+                                 precision=None) -> jnp.ndarray:
     """Layout-invariant detect: y_cp (B, D, n_rx, N+cp) — block b's D data
     symbols run against ITS reservoir/readout with a noise stream folded
     from its own key. Returns X_hat (B, D, N, n_tx). lax.map (not vmap)
@@ -189,7 +201,8 @@ def esn_detect_symbols_per_block(res_b: EsnReservoir, scale: EsnScale,
     def one(args):
         res, W, y, k = args
         X_in = build_esn_input(y, delay)          # (D, T+delay, 2*n_rx)
-        pred = esn_predict(res, scale, W[None], X_in, delay + cp_len, k)
+        pred = esn_predict(res, scale, W[None], X_in, delay + cp_len, k,
+                           precision=precision)
         x_hat_td = _deinterleave_reim(pred[:, :N])   # (D, n_tx, N)
         X_hat = fft_mxu(x_hat_td, axis=-1) / N
         X_hat = X_hat / jnp.asarray(power_scale)[..., None, None]

@@ -212,10 +212,12 @@ def synth_block(cfg: SimConfig, ebno_db, bkeys, esn_over=None,
 
     def _fit(sc, y, x, tag):
         if per_block:
-            return train_mimo_esn_per_block(res, sc, y, x, delay, cp,
-                                            _vfold(bkeys, tag))
+            return train_mimo_esn_per_block(
+                res, sc, y, x, delay, cp, _vfold(bkeys, tag),
+                precision=esn_cfg.recurrence_precision)
         return train_mimo_esn(res, sc, y, x, delay, cp,
-                              fold_key(bkeys[0], tag))
+                              fold_key(bkeys[0], tag),
+                              precision=esn_cfg.recurrence_precision)
     in_scaler = ov.get("input_scaler", esn_cfg.input_scaler)
     t_scaling = ov.get("teacher_scaling", esn_cfg.teacher_scaling)
     scale_m = EsnScale(
@@ -302,7 +304,8 @@ def detect_data_symbols(cfg: SimConfig, state: BlockState, ebno_db, bkeys,
             # with a noise stream folded from its own key
             return esn_detect_symbols_per_block(
                 state.reservoir, scale, Wt_out, y_cp, delay, cp, N, sqrt_pi,
-                _vfold(bkeys, _K_DETECT, tag))
+                _vfold(bkeys, _K_DETECT, tag),
+                precision=cfg.esn.recurrence_precision)
         # rows are block-major (D contiguous symbols per block), so the
         # (B, F, n_out) readout is passed grouped — esn_predict batches the
         # per-step readout contraction per block instead of re-reading a
@@ -310,7 +313,8 @@ def detect_data_symbols(cfg: SimConfig, state: BlockState, ebno_db, bkeys,
         y_flat = y_cp.reshape(B * D, n_rx, T)
         Xh = esn_detect_symbols(state.reservoir, scale, Wt_out, y_flat, delay,
                                 cp, N, sqrt_pi,
-                                fold_key(bkeys[0], _K_DETECT, tag))
+                                fold_key(bkeys[0], _K_DETECT, tag),
+                                precision=cfg.esn.recurrence_precision)
         return Xh.reshape(B, D, N, n_tx)
 
     if "esn" in detectors:

@@ -173,7 +173,10 @@ class LdpcConfig:
     # parity default); "qc" = quasi-cyclic girth-conditioned draw from the
     # same (dv, dc)-regular ensemble — identical rate, same-or-better BER
     # (girth >= 6 guaranteed), and BP decode routes via static cyclic
-    # shifts, unlocking the fused Pallas decoder (ldpc/decode_pallas.py)
+    # shifts, unlocking the fused Pallas decoder (ldpc/decode_pallas.py);
+    # "pyldpc" = construction-faithful replica of pyldpc's make_ldpc
+    # (legacy RandomState strips, BP on the FULL untrimmed row set —
+    # ldpc/code.make_pyldpc_ldpc, VERDICT r02 #10 ablation family)
     family: str = "gallager"
     dv: int = 4
     dc: int = 8

@@ -44,6 +44,13 @@ def main(argv=None) -> None:
     ap.add_argument("--ldpc-minsum-scale", type=float, default=None,
                     help="normalisation scale for --ldpc-algo minsum "
                          "(default: preset's, 0.75)")
+    ap.add_argument("--ldpc-family", choices=("gallager", "qc", "pyldpc"),
+                    default=None,
+                    help="override the code family (pyldpc = construction-"
+                         "faithful replica incl. full-row decode graph — "
+                         "the VERDICT #10 ablation family)")
+    ap.add_argument("--ldpc-seed", type=int, default=None,
+                    help="override the code construction seed")
     ap.add_argument("--esn-target", choices=("pre_pa", "post_pa"),
                     default=None,
                     help="ESN training-target waveform: pre_pa = reference-"
@@ -87,13 +94,18 @@ def main(argv=None) -> None:
         cfg = dataclasses.replace(
             cfg, esn=dataclasses.replace(cfg.esn,
                                          target_waveform=args.esn_target))
-    if args.ldpc_algo is not None or args.ldpc_minsum_scale is not None:
+    if (args.ldpc_algo is not None or args.ldpc_minsum_scale is not None
+            or args.ldpc_family is not None or args.ldpc_seed is not None):
         import dataclasses
         ld = cfg.ldpc
         if args.ldpc_algo is not None:
             ld = dataclasses.replace(ld, algo=args.ldpc_algo)
         if args.ldpc_minsum_scale is not None:
             ld = dataclasses.replace(ld, minsum_scale=args.ldpc_minsum_scale)
+        if args.ldpc_family is not None:
+            ld = dataclasses.replace(ld, family=args.ldpc_family)
+        if args.ldpc_seed is not None:
+            ld = dataclasses.replace(ld, seed=args.ldpc_seed)
         cfg = dataclasses.replace(cfg, ldpc=ld)
     outdir = args.outdir or f"results/{cfg.name}"
     blocks = args.blocks_per_snr or cfg.n_blocks

@@ -233,9 +233,54 @@ def _qc_shift_table(dv: int, dc: int, Z: int, seed: int) -> np.ndarray:
     return best.astype(np.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def make_pyldpc_ldpc(n: int, dv: int = 4, dc: int = 8,
+                     seed: int = 0) -> LdpcCode:
+    """Construction-faithful replica of pyldpc's `parity_check_matrix` +
+    full-H decoding (VERDICT r02 #10).
+
+    Differences from make_regular_ldpc, matching pyldpc exactly
+    (reference `make_ldpc(n, dv, dc, systematic=True, sparse=True)`,
+    OFDM_SISO_NBF_LDPC.py:196 — NOTE the reference passes no seed, so its
+    exact H is a fresh nondeterministic draw per run; what can be
+    reproduced is the construction ALGORITHM and its decode graph):
+
+      * the legacy np.random.RandomState generator (pyldpc's
+        check_random_state), with the strips permuted exactly as
+        `rng.permutation(block.T).T` does;
+      * BP decodes on the FULL n*dv/dc-row H including the linearly
+        dependent rows (pyldpc never row-trims) — the redundant checks
+        slightly help BP, which make_regular_ldpc's rank-trimmed graph
+        forgoes.
+
+    The encoder still comes from our systematization of the row space (the
+    codebook is identical; pyldpc's own Gauss-Jordan just relabels
+    columns differently), so the info-slice convention is unchanged.
+    """
+    rs = np.random.RandomState(seed + 42_424_242)
+    assert n % dc == 0
+    rows_per_strip = n // dc
+    block = np.zeros((rows_per_strip, n), dtype=np.int8)
+    for i in range(rows_per_strip):
+        block[i, i * dc:(i + 1) * dc] = 1
+    H_full = np.empty((dv * rows_per_strip, n), dtype=np.int8)
+    H_full[:rows_per_strip] = block
+    for i in range(1, dv):
+        H_full[i * rows_per_strip:(i + 1) * rows_per_strip] = \
+            rs.permutation(block.T).T
+    # encoder from the trimmed row space; decode graph keeps every row
+    Hp, P, perm = _systematize(H_full)
+    m = Hp.shape[0]
+    H_dec = np.ascontiguousarray(H_full[:, perm])
+    ck_cols, var_edge = _index_tensors(H_dec)
+    return LdpcCode(n=n, k=n - m, m=m, dv=dv, dc=dc, H=H_dec, P=P,
+                    ck_cols=ck_cols, var_edge=var_edge)
+
+
 def make_code(ldpc_cfg, n: int) -> LdpcCode:
     """Build the code an LdpcConfig describes (family dispatch, cached)."""
-    maker = {"gallager": make_regular_ldpc, "qc": make_qc_ldpc}[ldpc_cfg.family]
+    maker = {"gallager": make_regular_ldpc, "qc": make_qc_ldpc,
+             "pyldpc": make_pyldpc_ldpc}[ldpc_cfg.family]
     return maker(n, ldpc_cfg.dv, ldpc_cfg.dc, ldpc_cfg.seed)
 
 

@@ -130,3 +130,37 @@ def test_decode_early_termination_stats():
     assert np.array_equal(np.asarray(d[:2]), cw[:2].astype(np.int8))
     if not conv[2]:
         assert it[2] == 30
+
+
+def test_pyldpc_family_construction_and_decode():
+    """Construction-faithful pyldpc replica (VERDICT r02 #10): exact strip
+    structure, FULL decode graph (no row trim — pyldpc decodes with the
+    dependent rows), same rate as the other families, and BP at least as
+    good as the trimmed-graph Gallager draw at a waterfall point (the
+    redundant checks can only help)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from esn_ofdm_mimo_tpu.ldpc import (make_pyldpc_ldpc, make_regular_ldpc,
+                                        ldpc_encode, ldpc_decode_bp)
+
+    c = make_pyldpc_ldpc(512)
+    g = make_regular_ldpc(512)
+    assert c.H.shape[0] == 512 * c.dv // c.dc      # full, untrimmed
+    assert c.m == g.m and c.k == g.k               # same rank/rate profile
+    assert (c.H.sum(axis=1) == c.dc).all()
+    assert (c.H.sum(axis=0) == c.dv).all()
+
+    rng = np.random.default_rng(5)
+    errs = {}
+    for name, code in (("pyldpc", c), ("gallager", g)):
+        u = rng.integers(0, 2, (256, code.k))
+        cw = np.asarray(ldpc_encode(code, jnp.asarray(u))).astype(np.float64)
+        assert ((code.H.astype(np.int64)
+                 @ cw.astype(np.int64).T) % 2).sum() == 0
+        rate = code.k / code.n
+        sigma = np.sqrt(1.0 / (2 * rate * 10 ** (2.0 / 10)))
+        y = 1.0 - 2.0 * cw + sigma * rng.normal(size=cw.shape)
+        llr = (2.0 * y / sigma ** 2).astype(np.float32)
+        d = np.asarray(ldpc_decode_bp(code, jnp.asarray(llr), 50))
+        errs[name] = float((d[:, code.m:] != u).mean())
+    assert errs["pyldpc"] <= errs["gallager"] * 1.5 + 5e-3, errs

@@ -34,6 +34,7 @@ Reference contract being accelerated: pyldpc BP maxiter loop
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,17 @@ from .code import LdpcCode
 W = 128             # codewords per grid program (lane width)
 MSG_CLIP = 16.0     # same clip as the XLA decoder
 _PAD_LLR = 40.0     # padding lanes decode to all-zeros at iteration 0
+
+# A/B knobs (read at import; one process per setting — the compiled kernel
+# is cached per static shape, not per env):
+#   LDPC_PALLAS_ATANH: "log" (default) = 2*atanh(p) as log((1+p)/(1-p)),
+#     one transcendental; "log1p" = the log1p(p)-log1p(-p) pair (round-2
+#     form). Same math, different op count — tools A/B only.
+#   LDPC_PALLAS_SYN_EVERY: check the syndrome every k-th iteration.
+#     DIAGNOSTIC ONLY for cost attribution — k>1 changes the freeze
+#     semantics (pyldpc checks every iteration) and must never ship.
+_ATANH_IMPL = os.environ.get("LDPC_PALLAS_ATANH", "log")
+_SYN_EVERY = int(os.environ.get("LDPC_PALLAS_SYN_EVERY", "1"))
 
 
 def _roll(x: jnp.ndarray, s: int, Z: int) -> jnp.ndarray:
@@ -161,7 +173,13 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
             out = [None] * dc
             for j in range(dc - 1, -1, -1):
                 prod = jnp.clip(fwd[j] * bwd, -0.9999999, 0.9999999)
-                rc = jnp.log1p(prod) - jnp.log1p(-prod)      # 2*atanh
+                if _ATANH_IMPL == "log":
+                    # 2*atanh(p) = log((1+p)/(1-p)): ONE transcendental +
+                    # a divide instead of two log1p calls — same math
+                    # (A/B: tools/bench_bp_itercost.py)
+                    rc = jnp.log((1.0 + prod) / (1.0 - prod))
+                else:
+                    rc = jnp.log1p(prod) - jnp.log1p(-prod)
                 out[j] = _roll(rc, -shifts[i][j], Z)
                 bwd = bwd * tc[j]
             return out
@@ -206,8 +224,15 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
                         r_new = check_update_row(i, q)
                         for j in range(dc):
                             r_ref[i, j] = r_new[j]
-                d, ok = decide_and_check()
-                freeze(d, ok, jnp.float32(it) + 1.0)
+                if _SYN_EVERY > 1:
+                    # diagnostic cost-attribution mode only (see knob doc)
+                    @pl.when(jnp.mod(it, _SYN_EVERY) == _SYN_EVERY - 1)
+                    def _check():
+                        d, ok = decide_and_check()
+                        freeze(d, ok, jnp.float32(it) + 1.0)
+                else:
+                    d, ok = decide_and_check()
+                    freeze(d, ok, jnp.float32(it) + 1.0)
             return carry
 
         jax.lax.fori_loop(0, max_iter, body, None)

@@ -230,7 +230,7 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
         Ra = max(1, rounds_per_call)
         blocks = bid = base_blocks
         extra = 0
-        while (min(int(v) for v in acc.info_errors.values())
+        while (min(int(v) for v in acc.frame_errors.values())
                < adaptive_min_errors and blocks < max_blocks):
             n_rounds = min(Ra, max(1, (max_blocks - blocks) // G))
             ids = jnp.arange(bid, bid + n_rounds * G, dtype=jnp.uint32)
@@ -243,9 +243,9 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
                                             progress=progress))
             acc = _tree_add(acc, cnt)
         if progress is not None and extra:
-            errs = {d: int(v) for d, v in acc.info_errors.items()}
+            errs = {d: int(v) for d, v in acc.frame_errors.items()}
             progress(f"[mc] EbNo={ebno:g} dB adaptive: +{extra} blocks "
-                     f"({blocks} total), coded errors {errs}")
+                     f"({blocks} total), failed codewords {errs}")
         return acc
 
     # whole-grid fusion: one dispatch per experiment (int32 counter guard)
@@ -476,7 +476,7 @@ def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
                          for d, (a, b) in calib.items()}
             dec_blocks = bid - cal_rounds * G
             extra = 0
-            while (min(int(v) for v in coded.info_errors.values())
+            while (min(int(v) for v in coded.frame_errors.values())
                    < adaptive_min_errors and dec_blocks < max_dec_blocks):
                 # clip the last batch to the cap, in whole G-block rounds
                 n_rounds = min(Ra, max(1, (max_dec_blocks - dec_blocks) // G))
@@ -492,9 +492,9 @@ def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
                                                 calib_dev)))
                 coded = _tree_add(coded, cnt)
             if progress is not None and extra:
-                errs = {d: int(v) for d, v in coded.info_errors.items()}
+                errs = {d: int(v) for d, v in coded.frame_errors.items()}
                 progress(f"[cdl] EbNo={ebno:g} dB adaptive: +{extra} blocks "
-                         f"({dec_blocks} decoded), coded errors {errs}")
+                         f"({dec_blocks} decoded), failed codewords {errs}")
 
         tot_unc = uncoded["total_bits"] + int(coded.total_bits)
         snr_res = {

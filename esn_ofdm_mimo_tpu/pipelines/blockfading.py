@@ -36,6 +36,11 @@ class NbfCounts(NamedTuple):
     total_bits: jnp.ndarray
     info_errors: dict         # detector -> scalar int32 (post-LDPC info errs)
     total_info_bits: jnp.ndarray
+    # codeword-level failures (any info-bit error in the codeword): coded
+    # errors cluster per codeword (a failed decode flips ~k/2 bits), so
+    # FRAME counts, not bit counts, set the effective sample size — the
+    # unit the adaptive min-error sampler stops on
+    frame_errors: dict        # detector -> scalar int32 failed codewords
     capacity_sum: jnp.ndarray   # sum over blocks of mean-capacity/subcarrier
     rank_full_sum: jnp.ndarray  # #(subcarrier, block) with full rank
     rank_count: jnp.ndarray
@@ -84,6 +89,7 @@ def run_nbf_blocks(cfg: SimConfig, ebno_db, bkeys,
 
     # ---- coded (post-LDPC) BER on every decode_every-th data symbol ----
     info_errors = {name: jnp.int32(0) for name in data.X_hat}
+    frame_errors = {name: jnp.int32(0) for name in data.X_hat}
     iter_sum = {name: jnp.int32(0) for name in data.X_hat}
     unconv = {name: jnp.int32(0) for name in data.X_hat}
     total_info = jnp.int32(0)
@@ -114,7 +120,10 @@ def run_nbf_blocks(cfg: SimConfig, ebno_db, bkeys,
                                        schedule=cfg.ldpc.schedule,
                                        pass1_iters=cfg.ldpc.pass1_iters)
             u_hat = d_hat[:, code.m:].reshape(B, Dd, n_tx, code.k)
-            info_errors[name] = jnp.sum((u_hat != u_sel).astype(jnp.int32))
+            bad = u_hat != u_sel
+            info_errors[name] = jnp.sum(bad.astype(jnp.int32))
+            frame_errors[name] = jnp.sum(jnp.any(bad, axis=-1)
+                                         .astype(jnp.int32))
             iter_sum[name] = jnp.sum(st["iterations"])
             unconv[name] = jnp.sum((~st["converged"]).astype(jnp.int32))
         total_info = jnp.asarray(u_sel.size, dtype=jnp.int32)
@@ -131,6 +140,7 @@ def run_nbf_blocks(cfg: SimConfig, ebno_db, bkeys,
     return NbfCounts(
         bit_errors=bit_errors, total_bits=total_bits,
         info_errors=info_errors, total_info_bits=total_info,
+        frame_errors=frame_errors,
         capacity_sum=jnp.sum(met.capacity_per_sc),
         rank_full_sum=rank_full,
         rank_count=jnp.asarray(met.rank.size, jnp.int32),

@@ -41,6 +41,9 @@ class CdlCounts(NamedTuple):
     total_bits: jnp.ndarray
     info_errors: dict
     total_info_bits: jnp.ndarray
+    # codeword-level failures — the adaptive sampler's stopping unit (coded
+    # errors cluster per codeword; see NbfCounts.frame_errors)
+    frame_errors: dict
     # BP early-termination telemetry (same convention as NbfCounts):
     # per-detector sum of per-codeword iterations-to-convergence (budget for
     # unconverged), #codewords with nonzero final syndrome, #codewords
@@ -156,7 +159,7 @@ def run_cdl_decode_blocks(cfg: SimConfig, ebno_db, bkeys,
     errs = _uncoded_counts(code_bits, data.X_hat, m)
 
     B = code_bits.shape[0]
-    info_errors, iter_sum, unconv = {}, {}, {}
+    info_errors, frame_errors, iter_sum, unconv = {}, {}, {}, {}
     for name, Xh in data.X_hat.items():
         llr = _llrs_for(cfg, Xh, m)                     # (B, D, n_tx, N, m)
         a, b = calib[name]                              # (m,), (m,)
@@ -172,7 +175,9 @@ def run_cdl_decode_blocks(cfg: SimConfig, ebno_db, bkeys,
                                    schedule=cfg.ldpc.schedule,
                                    pass1_iters=cfg.ldpc.pass1_iters)
         u_hat = d_hat[:, code.m:].reshape(B, D, n_tx, code.k)
-        info_errors[name] = jnp.sum((u_hat != info_bits).astype(jnp.int32))
+        bad = u_hat != info_bits
+        info_errors[name] = jnp.sum(bad.astype(jnp.int32))
+        frame_errors[name] = jnp.sum(jnp.any(bad, axis=-1).astype(jnp.int32))
         iter_sum[name] = jnp.sum(st["iterations"])
         unconv[name] = jnp.sum((~st["converged"]).astype(jnp.int32))
 
@@ -180,5 +185,6 @@ def run_cdl_decode_blocks(cfg: SimConfig, ebno_db, bkeys,
                      total_bits=jnp.asarray(code_bits.size, jnp.int32),
                      info_errors=info_errors,
                      total_info_bits=jnp.asarray(info_bits.size, jnp.int32),
+                     frame_errors=frame_errors,
                      ldpc_iter_sum=iter_sum, ldpc_unconverged=unconv,
                      ldpc_codewords=jnp.asarray(B * D * n_tx, jnp.int32))

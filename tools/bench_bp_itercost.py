@@ -37,7 +37,8 @@ import jax.numpy as jnp
 
 def main() -> None:
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
-    lo, hi = 25, 100
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 100
 
     from esn_ofdm_mimo_tpu.ldpc import make_qc_ldpc, ldpc_encode
     from esn_ofdm_mimo_tpu.ldpc import decode_pallas as dp

@@ -28,8 +28,8 @@ from jax.sharding import PartitionSpec as P
 from ..config import SimConfig
 from ..pipelines.blockfading import run_nbf_blocks, NbfCounts
 from ..pipelines.cdl import (
-    CDL_DETECTORS, CdlCalData, CdlCounts, fit_calibrators,
-    run_cdl_cal_blocks, run_cdl_decode_blocks)
+    CDL_DETECTORS, CdlCalData, CdlCounts, cdl_decode_counters,
+    fit_calibrators, run_cdl_cal_blocks, run_cdl_detect_llrs)
 from ..utils.rng import block_keys
 from .mesh import TRIALS_AXIS, trials_mesh
 
@@ -328,14 +328,35 @@ def make_sharded_cdl_steps(cfg: SimConfig, mesh):
 
     def dec_local(ebno_db, bkeys2d, calib):
         # keys (R, G_local): R decode rounds scanned per dispatch (the axon
-        # relay's ~35 ms/dispatch latency amortises over R)
-        def body(acc, bkeys):
-            out = run_cdl_decode_blocks(cfg, ebno_db, bkeys, calib)
-            return jax.tree.map(lambda x, y: x + y, acc, out), None
+        # relay's ~35 ms/dispatch latency amortises over R). Detection runs
+        # per round inside the scan; the BP decode is hoisted OUT of the
+        # scan and runs ONCE on the round-stacked LLRs — measured round 3,
+        # a Pallas BP iteration costs ~2-3x more inside a scanned/fused
+        # context than in a flat call, and the stacked batch also fills a
+        # bigger grid. Bit-identical (per-codeword decode is independent);
+        # run_cdl_curve caps R so the stacked LLRs stay within memory.
+        zero = {d: jnp.zeros((), jnp.int32) for d in CDL_DETECTORS}
 
-        first = run_cdl_decode_blocks(cfg, ebno_db, bkeys2d[0], calib)
-        acc, _ = jax.lax.scan(body, first, bkeys2d[1:])
-        return jax.tree.map(lambda x: jax.lax.psum(x, TRIALS_AXIS), acc)
+        def body(acc, bkeys):
+            errs, tot, Lcs, u = run_cdl_detect_llrs(cfg, ebno_db, bkeys,
+                                                    calib)
+            aerrs, atot = acc
+            return ({d: aerrs[d] + errs[d] for d in aerrs}, atot + tot), \
+                (Lcs, u)
+
+        (errs, tot), (Lcs_st, u_st) = jax.lax.scan(
+            body, (zero, jnp.zeros((), jnp.int32)), bkeys2d)
+        Lcs = {d: v.reshape(-1, v.shape[-1]) for d, v in Lcs_st.items()}
+        u = u_st.reshape(-1, u_st.shape[-1])
+        dec = cdl_decode_counters(cfg, Lcs, u)
+        out = CdlCounts(bit_errors=errs, total_bits=tot,
+                        info_errors=dec["info_errors"],
+                        total_info_bits=jnp.asarray(u.size, jnp.int32),
+                        frame_errors=dec["frame_errors"],
+                        ldpc_iter_sum=dec["iter_sum"],
+                        ldpc_unconverged=dec["unconv"],
+                        ldpc_codewords=jnp.asarray(u.shape[0], jnp.int32))
+        return jax.tree.map(lambda x: jax.lax.psum(x, TRIALS_AXIS), out)
 
     dec = jax.jit(jax.shard_map(
         dec_local, mesh=mesh, in_specs=(P(), P(None, TRIALS_AXIS), P()),
@@ -421,7 +442,11 @@ def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
     # ~1.9e9 bits; any excess decode rounds run as extra scanned dispatches
     bpb = (cfg.data_symbols_per_block * cfg.channel.n_tx
            * cfg.ofdm.n_subcarriers * cfg.ofdm.bits_per_symbol)
-    max_rd = max(1, int(1.9e9 // (G * bpb)))
+    # two caps on rounds per fused dispatch: int32 counters (~1.9e9 bits)
+    # and the round-stacked f32 LLR buffers the batched decode holds
+    # (~6e8 bytes per detector; see dec_local)
+    max_rd = max(1, min(int(1.9e9 // (G * bpb)),
+                        int(6e8 // (G * bpb * 4))))
     rd_fused = min(dec_rounds, max_rd)
     rd_extra = dec_rounds - rd_fused
     snr_step = make_fused_cdl_snr_step(cfg, mesh)

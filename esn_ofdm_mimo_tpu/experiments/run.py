@@ -61,9 +61,12 @@ def main(argv=None) -> None:
     ap.add_argument("--adaptive-min-errors", type=int, default=None,
                     help="sequential MC (CDL + NBF pipelines): keep "
                          "simulating extra blocks at each SNR until every "
-                         "detector has this many coded errors (or the "
-                         "--adaptive-max-blocks cap) — concentrates blocks "
-                         "at the waterfall cliff and the deep coded tail")
+                         "detector has this many FAILED CODEWORDS (frame "
+                         "errors — coded bit errors cluster per codeword; "
+                         "with LDPC disabled the unit is uncoded bit "
+                         "errors), or the --adaptive-max-blocks cap — "
+                         "concentrates blocks at the waterfall cliff and "
+                         "the deep tails")
     ap.add_argument("--adaptive-max-blocks", type=int, default=None,
                     help="cap on decoded blocks per SNR for "
                          "--adaptive-min-errors (default 4x blocks-per-snr)")

@@ -182,13 +182,18 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
 
     adaptive_min_errors: sequential Monte-Carlo, same rule as run_cdl_curve —
     after the base budget at an SNR point, keep simulating extra rounds until
-    EVERY detector has at least this many coded info-bit errors, or the
-    adaptive_max_blocks cap (default 4x blocks_per_snr) is hit. Deep-tail
-    coded points (e.g. the 2x2 30 dB mmse_coded column) are carried by a
-    handful of codewords at the base budget; the error-count rule pins their
-    relative CI (~1/sqrt(n_err)) instead of their block count. Extra rounds
-    extend the same per-(snr, global-block-id) key stream, so an adaptive
-    run is a superset of the fixed-budget run's sample.
+    EVERY detector has at least this many FAILED CODEWORDS (frame errors;
+    coded bit errors cluster ~k/2 per failed codeword, so frame counts set
+    the effective sample size), or the adaptive_max_blocks cap (default 4x
+    blocks_per_snr) is hit. Deep-tail coded points (e.g. the 2x2 30 dB
+    mmse_coded column) are carried by a handful of codewords at the base
+    budget; the error-count rule pins their relative CI (~1/sqrt(n_err))
+    instead of their block count. When LDPC is DISABLED the stopping unit is
+    uncoded bit errors instead (independent bit flips — no clustering), so
+    deep uncoded floors (e.g. siso_qpsk_awgn at 21+ dB) also sample to a
+    fixed relative CI. Extra rounds extend the same per-(snr,
+    global-block-id) key stream, so an adaptive run is a superset of the
+    fixed-budget run's sample.
     """
     mesh = mesh if mesh is not None else trials_mesh()
     n_dev = mesh.devices.size
@@ -216,11 +221,19 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
     # program as the base rounds); built lazily for the step_factory path
     adapt_state = {"step": step if step_factory is None else None}
 
+    def _short_of_target(acc):
+        """True while any detector is below the adaptive error target.
+        Stopping unit: failed codewords when LDPC decodes (coded bit errors
+        cluster per codeword), uncoded bit errors otherwise."""
+        counts = (acc.frame_errors if cfg.ldpc.enabled else acc.bit_errors)
+        return min(int(v) for v in counts.values()) < adaptive_min_errors
+
     def _adaptive_topup(jj, ebno, acc, base_blocks):
         """Sequential-MC extension: extra scanned rounds at this SNR until
-        every detector's coded error count reaches adaptive_min_errors (or
-        the block cap). Key ids continue past the base budget's."""
-        if not adaptive_min_errors or not cfg.ldpc.enabled:
+        every detector's error count (failed codewords, or uncoded bit
+        errors when LDPC is disabled) reaches adaptive_min_errors (or the
+        block cap). Key ids continue past the base budget's."""
+        if not adaptive_min_errors:
             return acc
         max_blocks = (4 * blocks_per_snr if adaptive_max_blocks is None
                       else adaptive_max_blocks)
@@ -230,9 +243,11 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
         Ra = max(1, rounds_per_call)
         blocks = bid = base_blocks
         extra = 0
-        while (min(int(v) for v in acc.frame_errors.values())
-               < adaptive_min_errors and blocks < max_blocks):
-            n_rounds = min(Ra, max(1, (max_blocks - blocks) // G))
+        # whole G-block rounds only: stop when the remaining budget is below
+        # one round rather than dispatching past the cap (the previous
+        # max(1, ...) overshot adaptive_max_blocks by up to G-1 blocks)
+        while _short_of_target(acc) and max_blocks - blocks >= G:
+            n_rounds = min(Ra, (max_blocks - blocks) // G)
             ids = jnp.arange(bid, bid + n_rounds * G, dtype=jnp.uint32)
             bid += n_rounds * G
             blocks += n_rounds * G
@@ -243,9 +258,12 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
                                             progress=progress))
             acc = _tree_add(acc, cnt)
         if progress is not None and extra:
-            errs = {d: int(v) for d, v in acc.frame_errors.items()}
+            unit = "failed codewords" if cfg.ldpc.enabled else "bit errors"
+            errs = {d: int(v) for d, v in
+                    (acc.frame_errors if cfg.ldpc.enabled
+                     else acc.bit_errors).items()}
             progress(f"[mc] EbNo={ebno:g} dB adaptive: +{extra} blocks "
-                     f"({blocks} total), failed codewords {errs}")
+                     f"({blocks} total), {unit} {errs}")
         return acc
 
     # whole-grid fusion: one dispatch per experiment (int32 counter guard)
@@ -274,8 +292,10 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
     acc_per_snr = []
     for jj, ebno in enumerate(ebnos):
         if checkpoint is not None and checkpoint.has(jj):
-            acc_per_snr.append(checkpoint.load(jj))
-            continue
+            loaded = checkpoint.load_or_none(jj)
+            if loaded is not None:
+                acc_per_snr.append(loaded)
+                continue
         acc = None
         for r in range(rounds):
             ids = jnp.arange(r * R * G, (r + 1) * R * G, dtype=jnp.uint32)
@@ -459,8 +479,10 @@ def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
     results = []
     for jj, ebno in enumerate(ebnos):
         if checkpoint is not None and checkpoint.has(jj):
-            results.append(checkpoint.load(jj))
-            continue
+            loaded = checkpoint.load_or_none(jj)
+            if loaded is not None:
+                results.append(loaded)
+                continue
         ckeys = block_keys(root, jj,
                            jnp.arange(cal_rounds * G, dtype=jnp.uint32))
         ckeys = ckeys.reshape(cal_rounds, G, *ckeys.shape[1:])
@@ -501,10 +523,12 @@ def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
                          for d, (a, b) in calib.items()}
             dec_blocks = bid - cal_rounds * G
             extra = 0
+            # whole G-block rounds only; stop when the remaining budget is
+            # below one round instead of overshooting the cap
             while (min(int(v) for v in coded.frame_errors.values())
-                   < adaptive_min_errors and dec_blocks < max_dec_blocks):
-                # clip the last batch to the cap, in whole G-block rounds
-                n_rounds = min(Ra, max(1, (max_dec_blocks - dec_blocks) // G))
+                   < adaptive_min_errors
+                   and max_dec_blocks - dec_blocks >= G):
+                n_rounds = min(Ra, (max_dec_blocks - dec_blocks) // G)
                 ids = jnp.arange(bid, bid + n_rounds * G, dtype=jnp.uint32)
                 bid += n_rounds * G
                 dec_blocks += n_rounds * G

@@ -31,3 +31,17 @@ class SnrCheckpoint:
     def load(self, snr_idx: int) -> Any:
         with open(self._file(snr_idx), "rb") as f:
             return pickle.load(f)
+
+    def load_or_none(self, snr_idx: int) -> Any:
+        """Load a checkpoint, or None if it is unreadable/stale.
+
+        Counter NamedTuples (NbfCounts/CdlCounts) pickle positionally, so a
+        checkpoint written by an older revision with fewer fields raises
+        TypeError on unpickle; a --resume run should re-simulate that SNR
+        point rather than crash (ADVICE r03 #2)."""
+        try:
+            return self.load(snr_idx)
+        except Exception as e:  # noqa: BLE001 — any stale pickle shape
+            print(f"[ckpt] snr {snr_idx}: unreadable checkpoint "
+                  f"({type(e).__name__}: {e}); re-simulating")
+            return None

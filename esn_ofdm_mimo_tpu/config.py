@@ -229,6 +229,15 @@ class CalibConfig:
     gd_steps: int = 400
     lr: float = 0.1
     l2: float = 1e-3
+    # cap on calibration samples per bit position entering the GD fit
+    # (stride-subsampled when the stacked cal set is larger). The reference
+    # fits on ~154k samples (30% of 1000 symbols x N x n_tx,
+    # Demo_..._v2.py:476-482); large sharded runs stack 50-100x that, and
+    # the full-batch fit is memory-bound (~160 ms at 9.7M samples vs ~14 ms
+    # at 1M, tools/bench_decode_pieces.py) for no statistical gain (a, b
+    # estimates tighten as 1/sqrt(S): 1M samples put their standard error
+    # far below the run-to-run band). None = fit on everything.
+    max_fit_samples: int | None = 1 << 20
 
 
 @dataclasses.dataclass(frozen=True)

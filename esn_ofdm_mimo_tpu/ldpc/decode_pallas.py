@@ -52,7 +52,12 @@ _PAD_LLR = 40.0     # padding lanes decode to all-zeros at iteration 0
 # is cached per static shape, not per env):
 #   LDPC_PALLAS_ATANH: "log" (default) = 2*atanh(p) as log((1+p)/(1-p)),
 #     one transcendental; "log1p" = the log1p(p)-log1p(-p) pair (round-2
-#     form). Same math, different op count — tools A/B only.
+#     form). Same math, different op count — tools A/B only. Numerics note
+#     (ADVICE r03): the "log" form computes 1.0+p in f32, so |p| below
+#     ~1e-7 rounds to 1.0 and the weakest messages quantize to 0, where
+#     log1p kept full relative accuracy. Measured BER-neutral (the 2.9x
+#     speedup ships), but Pallas-vs-XLA bit agreement is a >0.9 band, not
+#     exact equality — keep cross-backend tests on agreement bands.
 #   LDPC_PALLAS_SYN_EVERY: check the syndrome every k-th iteration.
 #     DIAGNOSTIC ONLY for cost attribution — k>1 changes the freeze
 #     semantics (pyldpc checks every iteration) and must never ship.
@@ -319,11 +324,16 @@ def ldpc_decode_bp_pallas(code: LdpcCode, llr: jnp.ndarray,
     cap = max_iter if iter_cap is None else iter_cap
     cap = jnp.minimum(jnp.asarray(cap, jnp.int32), jnp.int32(max_iter))
 
-    def _run(lc_rows, run_cap):
+    def _run(lc_rows, run_cap, trips):
+        """trips = the kernel's STATIC fori_loop count. Iterations past the
+        runtime cap are predicated off but still pay the loop-trip check,
+        so each pass compiles at its own worst case (pass 1 at pass1_iters,
+        not max_iter — at the flagship decode batch the difference is
+        ~84 empty trips x 1776 tiles per detector)."""
         lc_T = jnp.full((n, Bp), _PAD_LLR, jnp.float32)
         lc_T = jax.lax.dynamic_update_slice(lc_T, lc_rows.T, (0, 0))
         bits_T, stats = _decode_padded(None, lc_T, run_cap.reshape(1),
-                                       int(max_iter), algo,
+                                       int(trips), algo,
                                        float(minsum_scale), qc_static,
                                        schedule)
         bits_nat = bits_T[:, :B].T                   # (B, n) natural order
@@ -333,20 +343,20 @@ def ldpc_decode_bp_pallas(code: LdpcCode, llr: jnp.ndarray,
 
     if pass1_iters is not None and int(pass1_iters) < int(max_iter):
         k1 = jnp.minimum(jnp.int32(int(pass1_iters)), cap)
-        b1, it1, cv1 = _run(lc_nat, k1)
+        b1, it1, cv1 = _run(lc_nat, k1, int(pass1_iters))
         # converged rows re-enter as their decided bits at +-PAD (zero
         # syndrome at iteration 0 -> frozen before any BP iteration);
         # stable sort packs stragglers (False first) into dense tiles
         order = jnp.argsort(cv1, stable=True)
         lc2 = jnp.where(cv1[:, None], _PAD_LLR * (1.0 - 2.0 * b1), lc_nat)
-        b2, it2, cv2 = _run(lc2[order], cap)
+        b2, it2, cv2 = _run(lc2[order], cap, int(max_iter))
         inv = jnp.argsort(order, stable=True)
         b2, it2, cv2 = b2[inv], it2[inv], cv2[inv]
         bits_nat = jnp.where(cv1[:, None], b1, b2)
         it = jnp.where(cv1, it1, it2)
         conv = cv1 | cv2
     else:
-        bits_nat, it, conv = _run(lc_nat, cap)
+        bits_nat, it, conv = _run(lc_nat, cap, int(max_iter))
 
     bits = bits_nat[:, jnp.asarray(qc.perm)].astype(jnp.int8)
     if return_stats:

@@ -101,7 +101,15 @@ def run_nbf_blocks(cfg: SimConfig, ebno_db, bkeys,
         B = u_sel.shape[0]
         max_iter = jnp.where(ebno_db >= cfg.ldpc.low_snr_double_iter_below_db,
                              cfg.ldpc.max_iter, 2 * cfg.ldpc.max_iter)
-        for name, Xh in data.X_hat.items():
+        # ALL detectors decode in ONE stacked kernel call (deterministic
+        # name order): per-codeword BP is independent of batch neighbours,
+        # so stacking is bit-exact, and each decode call's fixed
+        # iteration-independent cost (pad/transpose, compaction sort,
+        # permutations) is paid once instead of per detector
+        names = sorted(data.X_hat.keys())
+        Lc_all = []
+        for name in names:
+            Xh = data.X_hat[name]
             z = jnp.moveaxis(Xh[:, sel], -1, -2)      # (B, Dd, n_tx, N)
             if cfg.ldpc.sigma2_mode == "true_no":
                 sigma2 = jnp.asarray(No)              # Demo_SISO...:283
@@ -111,21 +119,26 @@ def run_nbf_blocks(cfg: SimConfig, ebno_db, bkeys,
             llr = llr.reshape(B, Dd, n_tx, N * m) * cfg.ldpc.llr_scale
             llr = jnp.clip(llr, -cfg.ldpc.llr_clip, cfg.ldpc.llr_clip)
             y_obs = llr / 2.0 if cfg.ldpc.yobs_half else llr
-            Lc = llr_from_yobs(y_obs, snr_db=1.0)
-            d_hat, st = ldpc_decode_bp(code, Lc.reshape(-1, N * m), max_iter,
-                                       algo=cfg.ldpc.algo,
-                                       minsum_scale=cfg.ldpc.minsum_scale,
-                                       return_stats=True,
-                                       max_iter_bound=2 * cfg.ldpc.max_iter,
-                                       schedule=cfg.ldpc.schedule,
-                                       pass1_iters=cfg.ldpc.pass1_iters)
-            u_hat = d_hat[:, code.m:].reshape(B, Dd, n_tx, code.k)
+            Lc_all.append(llr_from_yobs(y_obs, snr_db=1.0)
+                          .reshape(-1, N * m))
+        ncw = Lc_all[0].shape[0]
+        d_hat, st = ldpc_decode_bp(code, jnp.concatenate(Lc_all, axis=0),
+                                   max_iter,
+                                   algo=cfg.ldpc.algo,
+                                   minsum_scale=cfg.ldpc.minsum_scale,
+                                   return_stats=True,
+                                   max_iter_bound=2 * cfg.ldpc.max_iter,
+                                   schedule=cfg.ldpc.schedule,
+                                   pass1_iters=cfg.ldpc.pass1_iters)
+        for i, name in enumerate(names):
+            sl = slice(i * ncw, (i + 1) * ncw)
+            u_hat = d_hat[sl, code.m:].reshape(B, Dd, n_tx, code.k)
             bad = u_hat != u_sel
             info_errors[name] = jnp.sum(bad.astype(jnp.int32))
             frame_errors[name] = jnp.sum(jnp.any(bad, axis=-1)
                                          .astype(jnp.int32))
-            iter_sum[name] = jnp.sum(st["iterations"])
-            unconv[name] = jnp.sum((~st["converged"]).astype(jnp.int32))
+            iter_sum[name] = jnp.sum(st["iterations"][sl])
+            unconv[name] = jnp.sum((~st["converged"][sl]).astype(jnp.int32))
         total_info = jnp.asarray(u_sel.size, dtype=jnp.int32)
         n_codewords = jnp.asarray(B * Dd * n_tx, dtype=jnp.int32)
 

@@ -134,10 +134,21 @@ def fit_logreg_1d(x: jnp.ndarray, y: jnp.ndarray, steps: int = 400,
 
 def fit_calibrators(cfg: SimConfig, cal: dict, bits) -> dict:
     """cal: detector -> (S_total, m) LLRs; bits (S_total, m). Returns
-    detector -> (a (m,), b (m,))."""
+    detector -> (a (m,), b (m,)).
+
+    When the stacked cal set exceeds calib.max_fit_samples per bit, a
+    deterministic stride subsample feeds the GD — the reference's own fit
+    uses ~154k samples (Demo_..._v2.py:476-482), so a >=1M-sample fit is
+    statistically identical while the full-batch GD cost stays bounded
+    (the fit is memory-bound; see CalibConfig.max_fit_samples)."""
+    cap = cfg.calib.max_fit_samples
     out = {}
     for name, llr in cal.items():
-        a, b = fit_logreg_1d(llr.T, bits.T, steps=cfg.calib.gd_steps,
+        x, y = llr.T, bits.T                      # (m, S)
+        if cap is not None and x.shape[-1] > cap:
+            stride = -(-x.shape[-1] // int(cap))
+            x, y = x[..., ::stride], y[..., ::stride]
+        a, b = fit_logreg_1d(x, y, steps=cfg.calib.gd_steps,
                              lr=cfg.calib.lr, l2=cfg.calib.l2)
         out[name] = (a, b)
     return out
@@ -181,24 +192,32 @@ def run_cdl_detect_llrs(cfg: SimConfig, ebno_db, bkeys, calib: dict):
 def cdl_decode_counters(cfg: SimConfig, Lcs: dict, info_bits) -> dict:
     """Batched decode of stacked calibrated LLRs: detector -> counters.
 
-    Lcs: detector -> (ncw, n); info_bits (ncw, k). Per-codeword results
-    are independent, so decoding the round-stacked batch is bit-identical
-    to per-round decoding — only the kernel context changes."""
+    Lcs: detector -> (ncw, n); info_bits (ncw, k). Per-codeword results are
+    independent, so decoding the round-stacked batch is bit-identical to
+    per-round decoding — only the kernel context changes. ALL detectors are
+    stacked into ONE decode call (deterministic name order): each decode
+    call pays a fixed iteration-independent cost (pad/transpose, the
+    compaction sort + gathers, the natural-order permutations) measured at
+    ~50-100 ms at flagship batches, so one call on the doubled batch
+    halves that overhead and fills a single larger grid. Per-detector
+    counters come from slicing the stacked results back apart."""
     N, m = cfg.ofdm.n_subcarriers, cfg.ofdm.bits_per_symbol
     code = make_code(cfg.ldpc, N * m)
+    names = sorted(Lcs.keys())
+    ncw = Lcs[names[0]].shape[0]
+    d_hat, st = ldpc_decode_bp(
+        code, jnp.concatenate([Lcs[n] for n in names], axis=0),
+        cfg.ldpc.max_iter, algo=cfg.ldpc.algo,
+        minsum_scale=cfg.ldpc.minsum_scale, return_stats=True,
+        schedule=cfg.ldpc.schedule, pass1_iters=cfg.ldpc.pass1_iters)
     info_errors, frame_errors, iter_sum, unconv = {}, {}, {}, {}
-    for name, Lc in Lcs.items():
-        d_hat, st = ldpc_decode_bp(code, Lc, cfg.ldpc.max_iter,
-                                   algo=cfg.ldpc.algo,
-                                   minsum_scale=cfg.ldpc.minsum_scale,
-                                   return_stats=True,
-                                   schedule=cfg.ldpc.schedule,
-                                   pass1_iters=cfg.ldpc.pass1_iters)
-        bad = d_hat[:, code.m:] != info_bits
+    for i, name in enumerate(names):
+        sl = slice(i * ncw, (i + 1) * ncw)
+        bad = d_hat[sl, code.m:] != info_bits
         info_errors[name] = jnp.sum(bad.astype(jnp.int32))
         frame_errors[name] = jnp.sum(jnp.any(bad, axis=-1).astype(jnp.int32))
-        iter_sum[name] = jnp.sum(st["iterations"])
-        unconv[name] = jnp.sum((~st["converged"]).astype(jnp.int32))
+        iter_sum[name] = jnp.sum(st["iterations"][sl])
+        unconv[name] = jnp.sum((~st["converged"][sl]).astype(jnp.int32))
     return {"info_errors": info_errors, "frame_errors": frame_errors,
             "iter_sum": iter_sum, "unconv": unconv}
 

@@ -1,5 +1,6 @@
 """Channel model + estimation tests: lfilter-semantics FIR, tap statistics,
 LS/MMSE estimation recovering the true channel in benign conditions."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -224,6 +225,7 @@ def test_tdl_profiles_a_c():
         assert corr > 0.99, (p, corr, pw, expect)
 
 
+@pytest.mark.slow
 def test_cdl_a_c_pipeline_kinds():
     """kind='cdl_a'/'cdl_c' run end-to-end through the block pipeline."""
     import dataclasses

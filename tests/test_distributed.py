@@ -10,6 +10,7 @@ the per-device ESN batches are identical too, so every integer counter must
 match bit-for-bit.
 """
 import json
+import pytest
 import os
 import socket
 import subprocess
@@ -45,6 +46,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_distributed_matches_single_process(tmp_path):
     coord = f"127.0.0.1:{_free_port()}"
     out_file = tmp_path / "proc0.json"
@@ -89,10 +91,9 @@ def test_two_process_distributed_matches_single_process(tmp_path):
                                np.asarray(ref.capacity_sum), rtol=1e-5)
 
 
-import pytest
-
 
 @pytest.mark.parametrize("n_procs,dpp", [(2, 2), (4, 1)])
+@pytest.mark.slow
 def test_multi_process_cdl_fused_path(tmp_path, n_procs, dpp):
     """The flagship fused CDL SNR program (cal + calibrator fit + LDPC
     decode, make_fused_cdl_snr_step) across real jax.distributed processes,

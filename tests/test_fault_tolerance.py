@@ -1,4 +1,5 @@
 """Fault-injection: a round that fails transiently must be retried exactly."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -9,6 +10,7 @@ from esn_ofdm_mimo_tpu.parallel.montecarlo import (
 from tests.test_montecarlo import tiny_cfg
 
 
+@pytest.mark.slow
 def test_round_retry_recovers():
     cfg = tiny_cfg()
     mesh = trials_mesh(8)

@@ -55,6 +55,7 @@ def _awgn_llrs(code, B, ebno_db, seed):
 
 
 @pytest.mark.parametrize("algo", ["sumprod", "minsum"])
+@pytest.mark.slow
 def test_pallas_kernel_matches_xla_graph(algo):
     """Kernel (interpret mode) vs the XLA decoder on the same full graph."""
     from esn_ofdm_mimo_tpu.ldpc import decode_pallas
@@ -137,6 +138,7 @@ def test_qc_decode_with_traced_max_iter(monkeypatch):
 
 
 @pytest.mark.parametrize("algo", ["sumprod", "minsum"])
+@pytest.mark.slow
 def test_pallas_layered_matches_xla_layered(algo):
     """Layered-schedule kernel (interpret mode) vs the XLA layered decoder."""
     from unittest import mock
@@ -223,6 +225,7 @@ def test_layered_traced_max_iter_and_cap():
 
 
 @pytest.mark.parametrize("cap", [0, 7, 25])
+@pytest.mark.slow
 def test_pallas_traced_iter_cap_matches_xla_budget(cap):
     """The kernel compiled at a static 25-iteration bound with a TRACED
     runtime cap must reproduce the XLA decoder run at exactly `cap`
@@ -261,6 +264,7 @@ def test_pallas_traced_iter_cap_matches_xla_budget(cap):
     assert (ref_it == got_it).mean() > 0.9, (ref_it, got_it)
 
 
+@pytest.mark.slow
 def test_two_pass_compaction_is_bit_exact():
     """pass1_iters straggler compaction must reproduce the single-pass
     decode EXACTLY — bits, iteration counts and convergence flags — since

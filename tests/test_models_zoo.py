@@ -1,5 +1,6 @@
 """Model zoo + classifiers: learning sanity tests (each model must beat
 chance on a separable problem) and the classification pipeline end-to-end."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -101,6 +102,7 @@ def test_elm_classifier_near_traditional():
     assert ser < ser_trad + 0.1
 
 
+@pytest.mark.slow
 def test_classification_pipeline_tiny():
     from esn_ofdm_mimo_tpu.config import (
         SimConfig, OfdmConfig, ChannelConfig, EsnConfig, LdpcConfig)

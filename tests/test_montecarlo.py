@@ -28,6 +28,7 @@ def test_mesh_has_8_devices():
     assert jax.device_count() == 8
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     """8-way sharded counts must equal a 1-device run on the same block ids."""
     cfg = tiny_cfg()
@@ -53,6 +54,7 @@ def test_sharded_step_matches_single_device():
         assert abs(a - b) < 0.1, (det, a, b)
 
 
+@pytest.mark.slow
 def test_curve_runs_and_is_monotone():
     cfg = tiny_cfg()
     res = run_nbf_curve(cfg, blocks_per_snr=8, blocks_per_device=1,
@@ -63,6 +65,7 @@ def test_curve_runs_and_is_monotone():
     assert res.total_bits[0] > 0 and res.total_info_bits[0] > 0
 
 
+@pytest.mark.slow
 def test_scan_step_matches_round_sum():
     """R rounds scanned in one dispatch == the sum of R single-round calls
     (the relay-latency-amortising path, make_sharded_nbf_scan_step)."""
@@ -82,6 +85,7 @@ def test_scan_step_matches_round_sum():
     assert int(scan.total_bits) == sum(int(p.total_bits) for p in parts)
 
 
+@pytest.mark.slow
 def test_cdl_counters_chunks_matches_blocks():
     """run_cdl_cal_counters_chunks == summed run_cdl_cal_blocks counters."""
     from esn_ofdm_mimo_tpu.pipelines.cdl import (
@@ -102,6 +106,7 @@ def test_cdl_counters_chunks_matches_blocks():
     assert int(tot) == sum(int(o.total_bits) for o in outs)
 
 
+@pytest.mark.slow
 def test_fused_grid_matches_per_snr_dispatch():
     """Whole-grid fused dispatch (on-device key folding) must be
     bit-identical to the host-keyed per-SNR dispatch path."""
@@ -119,6 +124,7 @@ def test_fused_grid_matches_per_snr_dispatch():
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_cdl_fused_snr_step_layout_invariant():
     """CDL fused per-SNR step: classical counters and calibrators must be
     bit-identical between a 1-device and an 8-way-sharded mesh on the same
@@ -154,6 +160,7 @@ def test_cdl_fused_snr_step_layout_invariant():
     assert abs(a - b) < 0.15, (a, b)
 
 
+@pytest.mark.slow
 def test_cdl_adaptive_min_errors_extends_sampling():
     """Sequential MC: with a min-error target the runner must decode extra
     blocks at SNR points whose error counts fall short, stop at the
@@ -186,6 +193,7 @@ def test_cdl_adaptive_min_errors_extends_sampling():
     assert not any("adaptive" in m and "EbNo=0 dB" in m for m in msgs2), msgs2
 
 
+@pytest.mark.slow
 def test_rng_mode_block_is_layout_invariant():
     """EsnConfig.rng_mode='block': reservoir + fit/detect noise streams fold
     from each block's own key, so UNCODED ESN counters become BIT-identical
@@ -246,6 +254,7 @@ def test_rng_mode_block_reservoir_and_readout_bitwise_stable():
                                   np.asarray(st2.Wt_out_m[0]))
 
 
+@pytest.mark.slow
 def test_nbf_adaptive_min_errors_extends_sampling():
     """NBF sequential MC mirrors the CDL rule: error-starved SNR points get
     extra rounds up to the cap; error-rich points stay at the base budget;

@@ -1,4 +1,5 @@
 """Sequence-sharding primitives vs unsharded oracles on the 8-device mesh."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -56,6 +57,7 @@ def test_overlap_save_scan_esn_like():
     assert np.median(err) < 1e-3
 
 
+@pytest.mark.slow
 def test_seqshard_composed_rx_chain():
     """End-to-end long-waveform receive chain: a 64k-sample 2x2 stream runs
     through the time-sharded FIR channel into a time-sharded reservoir

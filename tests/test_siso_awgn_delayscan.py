@@ -1,4 +1,5 @@
 """SISO-AWGN demo path (flat channel, CP=0, scalar LS) + delay-scan trainer."""
+import pytest
 import dataclasses
 import numpy as np
 import jax
@@ -42,6 +43,7 @@ def test_siso_awgn_pipeline_runs_and_detects():
     assert berc["mmse"] == 0.0
 
 
+@pytest.mark.slow
 def test_delay_scan_trainer_prefers_true_delay():
     """select_delay_by_nmse must pick a small delay for a causal channel."""
     from esn_ofdm_mimo_tpu.models.esn import init_reservoir, EsnScale

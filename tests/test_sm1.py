@@ -222,6 +222,7 @@ def test_lmmse_unbiased_scaling():
 # ---------------- end-to-end operating point ----------------
 
 
+@pytest.mark.slow
 def test_sm1_dataset_operating_point():
     """The nearest-point demapper on the sm1 dataset must reproduce the
     reference's committed operating point (notebook outputs, SURVEY.md

@@ -1,4 +1,5 @@
 """2x2 model-zoo pipeline + ESN sweep driver tests (tiny configs)."""
+import pytest
 import dataclasses
 import numpy as np
 import jax
@@ -20,6 +21,7 @@ def _cfg():
         ebno_db=(15.0,))
 
 
+@pytest.mark.slow
 def test_zoo_pipeline_all_detectors():
     cfg = _cfg()
     keys = block_keys(jax.random.PRNGKey(0), 0, jnp.arange(2, dtype=jnp.uint32))
@@ -47,6 +49,7 @@ def test_zoo_pipeline_all_detectors():
     assert float(out.train_nmse["elm"]) <= float(out.test_nmse["elm"]) * 1.5
 
 
+@pytest.mark.slow
 def test_sweep_driver_one_point():
     from esn_ofdm_mimo_tpu.experiments.sweep import run_sweep, SWEEPS
     base = _cfg()

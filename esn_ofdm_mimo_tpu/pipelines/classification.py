@@ -25,8 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SimConfig
-from ..ldpc.code import make_qc_ldpc
-from ..ldpc.encode import ldpc_encode
+from ..ldpc import nr
 from ..models import classifiers as clf
 from ..models.zoo import train_classifier_cached as train_classifier
 from ..ops.qam import (bits_to_index_msb, hard_demap_index,
@@ -73,11 +72,12 @@ def make_equalized_dataset_sm1(ebno_db, key, batch: int = 64,
     labels.
 
     The reference instantiates an LDPC5GDecoder but never calls it
-    (esn_ofdm_mimo_via_cdl.py:69 vs :241 — encoder-only path), so only the
-    *law* of the coded bits matters to the classifiers. We encode real
-    rate-1/2 codewords with the framework's QC-LDPC encoder on uniform
-    info bits — the same law as any linear code's codeword bits (uniform
-    marginals), matching the reference's n = D*m, k = n*coderate shape.
+    (esn_ofdm_mimo_via_cdl.py:69 vs :241 — encoder-only path). Coded bits
+    are real 38.212 NR LDPC codewords (ldpc/nr.py: BG2, Z=160, 2Z
+    systematic puncture, filler-skipping rate matching at rv0) at the
+    reference's exact call shape LDPC5GEncoder(k=D*m*R, n=D*m) — the SER
+    anchors are the test that the codeword-bit law (uniform) is what
+    reaches the classifiers (tests/test_sm1.py).
     """
     rg = rg or sm1_grid.ResourceGrid(num_streams=4)
     cdl_cfg = cdl_cfg or sm1_cdl.CdlConfig()
@@ -86,10 +86,10 @@ def make_equalized_dataset_sm1(ebno_db, key, batch: int = 64,
 
     no = sm1_grid.ebnodb2no(ebno_db, m, coderate, rg)
     S, D = rg.num_streams, rg.num_data_symbols
-    code = make_qc_ldpc(D * m, dv=4, dc=8, seed=0)   # rate ~ coderate (1/2)
+    code = nr.make_nr_ldpc(int(D * m * coderate), D * m)
     u = jax.random.randint(k_bits, (batch, S, code.k), 0, 2,
                            dtype=jnp.int32)
-    c = ldpc_encode(code, u).astype(jnp.int32)
+    c = nr.nr_encode(code, u).astype(jnp.int32)
     const = qam_constellation_gray(m)
     labels = bits_to_index_msb(c, m)                      # (B, S, D)
     x_data = const[labels]

@@ -100,13 +100,20 @@ def _seed_arg(noise_key):
 
 def _predict_kernel(u_ref, wt_ref, wio_ref, wofs_ref, wofu_ref,
                     seed_ref, noise_ref, out_ref, *, T, n_p, n_rs, with_prng,
-                    rec_bf16):
+                    rec_bf16, ilv=1):
+    """ilv > 1: software-pipelining experiment (round-2 stretch item /
+    VERDICT r03 #7) — each program carries `ilv` INDEPENDENT BC-lane
+    recurrence chains and issues their step bodies back-to-back inside one
+    loop trip, so one chain's serial-dependency stalls (the ~0.7 us/step
+    Mosaic loop/VMEM floor measured in tools/bench_micro.py) can overlap
+    the other's MXU/VPU work. Lane blocks are ilv*BC wide; chain c owns
+    lanes [c*BC, (c+1)*BC). Noise streams differ from ilv=1 (same
+    per-program PRNG, interleaved draws) — statistically identical."""
     if with_prng:
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
 
-    def step(t, so):
-        s, o = so
-        u_t = u_ref[t]                                      # (n_in_p, BC)
+    def chain(t, s, o, lo):
+        u_t = u_ref[t][:, lo:lo + BC]                       # (n_in_p, BC)
         # ONE merged dot for input + feedback: wio = [Win | Wfb] against
         # z = [u_t; o]. Identical f32 math to two separate dots, but each
         # small MXU dot carries ~0.3 us of fixed issue cost per step —
@@ -125,14 +132,21 @@ def _predict_kernel(u_ref, wt_ref, wio_ref, wofs_ref, wofu_ref,
         # Only the first n_rs (= n_res padded to sublanes) state rows carry
         # signal — wofs is shipped pre-sliced, so the VPU multiply-reduce
         # skips the zero lane-padding rows (n_p - n_rs of them).
-        o_new = (jnp.sum(wofs_ref[:] * s_new[:n_rs][:, None, :], axis=0)
-                 + jnp.sum(wofu_ref[:] * u_t[:, None, :], axis=0))
-        out_ref[t] = o_new
+        o_new = (jnp.sum(wofs_ref[:, :, lo:lo + BC]
+                         * s_new[:n_rs][:, None, :], axis=0)
+                 + jnp.sum(wofu_ref[:, :, lo:lo + BC]
+                           * u_t[:, None, :], axis=0))
+        out_ref[t, :, lo:lo + BC] = o_new
         return s_new, o_new
 
-    s0 = jnp.zeros((n_p, BC), dtype=jnp.float32)
-    o0 = jnp.zeros_like(out_ref[0])
-    jax.lax.fori_loop(0, T, step, (s0, o0))
+    def step(t, chains):
+        return tuple(chain(t, s, o, c * BC)
+                     for c, (s, o) in enumerate(chains))
+
+    init = tuple((jnp.zeros((n_p, BC), jnp.float32),
+                  jnp.zeros((out_ref.shape[1], BC), jnp.float32))
+                 for _ in range(ilv))
+    jax.lax.fori_loop(0, T, step, init)
 
 
 def _predict_kernel_grouped(u_ref, wt_ref, wio_ref, wofs_ref,
@@ -205,7 +219,10 @@ def esn_predict_pallas(res: EsnReservoir, scale: EsnScale,
     n_p = _pad_to(n_res, _SUB)
     n_rs = n_p                    # readout rows == state rows
     n_in_p = _pad_to(n_in, _SUB)
-    B_p = _pad_to(B, BC)
+    # interleave experiment (see _predict_kernel docstring): ilv independent
+    # chains per program; batch pads to whole ilv*BC windows
+    ilv = max(1, int(os.environ.get("ESN_TPU_PREDICT_ILV", "1")))
+    B_p = _pad_to(B, BC * ilv)
     n_out_p = _pad_to(n_out, _SUB)
 
     u = inputs * scale.input_scaling + scale.input_shift       # (B, T, n_in)
@@ -227,7 +244,7 @@ def esn_predict_pallas(res: EsnReservoir, scale: EsnScale,
     # Mosaic's scoped-vmem default (16 MiB) undersizes big-reservoir configs
     # (e.g. 4x8 NBF: n_res=600, T=522 needs ~17.4 MiB with double buffering);
     # raise the per-kernel limit to the actual estimate plus headroom.
-    need = _predict_vmem_bytes(T, n_p, n_in_p, n_out_p)
+    need = _predict_vmem_bytes(T, n_p, n_in_p, n_out_p) * ilv
     params = {}
     if need > _VMEM_SCOPED_DEFAULT and not interpret:
         params["compiler_params"] = pltpu.CompilerParams(
@@ -285,21 +302,26 @@ def esn_predict_pallas(res: EsnReservoir, scale: EsnScale,
             jnp.repeat(Wt_out[:, n_res:, :], Dg, axis=0), (1, 2, 0)))
         # interpret mode (CPU tests) lacks the TPU PRNG primitive; the
         # reference parity tests run with noise amplitude 0 anyway
+        n_prog = B_p // (ilv * BC)
+        WBC = ilv * BC
         kernel = functools.partial(_predict_kernel, T=T, n_p=n_p, n_rs=n_rs,
                                    with_prng=not interpret,
-                                   rec_bf16=_RECURRENCE_BF16 and not interpret)
+                                   rec_bf16=_RECURRENCE_BF16 and not interpret,
+                                   ilv=ilv)
         ro_specs = [
-            pl.BlockSpec((n_rs, n_out_p, BC), lambda i: (0, 0, i)),
-            pl.BlockSpec((n_in_p, n_out_p, BC), lambda i: (0, 0, i)),
+            pl.BlockSpec((n_rs, n_out_p, WBC), lambda i: (0, 0, i)),
+            pl.BlockSpec((n_in_p, n_out_p, WBC), lambda i: (0, 0, i)),
         ]
         ro_args = (wofs, wofu)
+
+    WBC = BC if grouped else WBC
 
     out = pl.pallas_call(
         kernel,
         **params,
         grid=(n_prog,),
         in_specs=[
-            pl.BlockSpec((T, n_in_p, BC), lambda i: (0, 0, i)),
+            pl.BlockSpec((T, n_in_p, WBC), lambda i: (0, 0, i)),
             pl.BlockSpec((n_p, n_p), lambda i: (0, 0)),
             pl.BlockSpec((n_p, n_in_p + n_out_p), lambda i: (0, 0)),
             *ro_specs,
@@ -308,7 +330,7 @@ def esn_predict_pallas(res: EsnReservoir, scale: EsnScale,
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((T, n_out_p, BC), lambda i: (0, 0, i)),
+        out_specs=pl.BlockSpec((T, n_out_p, WBC), lambda i: (0, 0, i)),
         out_shape=jax.ShapeDtypeStruct((T, n_out_p, B_p), jnp.float32),
         interpret=interpret,
     )(u_fm, W, Wio, *ro_args, _seed_arg(noise_key), noise_amp)

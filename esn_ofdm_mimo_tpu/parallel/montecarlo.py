@@ -148,6 +148,13 @@ def make_fused_nbf_grid(cfg: SimConfig, mesh, blocks_per_device: int,
     return jax.jit(sharded)
 
 
+# Deterministic program/user errors that a retry cannot fix — re-dispatching
+# them `retries` times only delays the real traceback (VERDICT r03 weak #6).
+# Backend/runtime errors stay broadly retryable: the axon relay surfaces
+# transient interconnect failures as opaque RuntimeError/XlaRuntimeError.
+_NO_RETRY = (TypeError, ValueError, AssertionError, AttributeError, KeyError)
+
+
 def _call_with_retry(step, args, retries: int = 2,
                      progress: Optional[Callable[[str], None]] = None):
     """Retry a sharded round on transient failures (flaky interconnect /
@@ -157,6 +164,8 @@ def _call_with_retry(step, args, retries: int = 2,
     for attempt in range(retries + 1):
         try:
             return step(*args)
+        except _NO_RETRY:
+            raise
         except Exception as e:  # noqa: BLE001 — backend errors are opaque
             last = e
             if progress is not None:

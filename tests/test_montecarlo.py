@@ -282,6 +282,32 @@ def test_nbf_adaptive_min_errors_extends_sampling():
     assert not any("adaptive" in m and "EbNo=6 dB" in m for m in msgs2), msgs2
 
 
+@pytest.mark.slow
+def test_nbf_adaptive_uncoded_stops_on_bit_errors():
+    """With LDPC disabled the adaptive sampler stops on UNCODED bit errors
+    (VERDICT r03 #6): an unreachable target tops up to the cap without
+    overshooting it, and a trivially-satisfied target adds nothing."""
+    import dataclasses
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, ldpc=dataclasses.replace(cfg.ldpc, enabled=False))
+    msgs = []
+    adapt = run_nbf_curve(cfg, blocks_per_snr=8, blocks_per_device=1,
+                          mesh=trials_mesh(8), progress=msgs.append,
+                          adaptive_min_errors=10 ** 9,
+                          adaptive_max_blocks=20)
+    assert sum("adaptive" in m for m in msgs) == len(cfg.ebno_db), msgs
+    assert any("bit errors" in m for m in msgs), msgs
+    # cap respected in whole 8-block rounds: 16, never 24 (overshoot fix)
+    np.testing.assert_array_equal(adapt.n_blocks, 16)
+    msgs2 = []
+    sat = run_nbf_curve(cfg, blocks_per_snr=8, blocks_per_device=1,
+                        mesh=trials_mesh(8), progress=msgs2.append,
+                        adaptive_min_errors=1, adaptive_max_blocks=20)
+    assert not any("adaptive" in m for m in msgs2), msgs2
+    np.testing.assert_array_equal(sat.n_blocks, 8)
+
+
 def test_esn_target_waveform_modes():
     """pre_pa (parity: reference trains on the clean x_CP while x_CP_NLD
     enters the channel) and post_pa (extension) must differ exactly when

@@ -140,6 +140,46 @@ def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100,
                             algo, minsum_scale, return_stats)
 
 
+def ldpc_decode_bp_counts(code: LdpcCode, llr: jnp.ndarray,
+                          info_bits: jnp.ndarray, max_iter: int = 100,
+                          algo: str = "sumprod", minsum_scale: float = 0.75,
+                          max_iter_bound=None, schedule: str = "flooding",
+                          pass1_iters=None):
+    """Decode + per-codeword info-bit error counts, skipping the bits
+    round-trip where the backend allows.
+
+    The Monte-Carlo pipelines only consume error COUNTS; on the Pallas path
+    the comparison happens in the kernel's transposed domain
+    (ldpc_decode_bp_pallas_counts — saves the (n, B) transpose + column
+    permutation, ~60-90 ms per fused SNR dispatch at flagship batches).
+    Elsewhere this decodes normally and compares — results are identical
+    by construction (asserted in tests/test_ldpc_qc.py).
+
+    info_bits (B, k) pipeline order. Returns (err (B,) int32, stats)."""
+    if code.qc is not None:
+        impl = LDPC_TPU_IMPL
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        iter_cap = None
+        if isinstance(max_iter, jax.core.Tracer):
+            if impl == "pallas" and max_iter_bound is not None:
+                iter_cap, max_iter = max_iter, int(max_iter_bound)
+            else:
+                impl = "xla"
+        if impl == "pallas":
+            from .decode_pallas import ldpc_decode_bp_pallas_counts
+            return ldpc_decode_bp_pallas_counts(
+                code, llr, info_bits, max_iter, algo, minsum_scale,
+                iter_cap=iter_cap, schedule=schedule,
+                pass1_iters=pass1_iters)
+    d_hat, st = ldpc_decode_bp(code, llr, max_iter, algo, minsum_scale,
+                               return_stats=True,
+                               max_iter_bound=max_iter_bound,
+                               schedule=schedule, pass1_iters=pass1_iters)
+    bad = d_hat[:, code.m:] != info_bits
+    return jnp.sum(bad.astype(jnp.int32), axis=-1), st
+
+
 def _decode_bp_qc_layered(code: LdpcCode, llr_nat: jnp.ndarray, max_iter,
                           algo: str, minsum_scale: float,
                           return_stats: bool):

@@ -44,7 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .code import LdpcCode
 
-W = 128             # codewords per grid program (lane width)
+# codewords per grid program (lane width). 256 doubles the per-program
+# batch (fewer grid programs, coarser early-exit granularity) — only
+# feasible with bf16 message storage (f32 messages at W=256 need a 16 MB
+# scratch, the whole VMEM). A/B knob; see LDPC_PALLAS_MSG_DTYPE.
+W = int(os.environ.get("LDPC_PALLAS_W", "128"))
 MSG_CLIP = 16.0     # same clip as the XLA decoder
 _PAD_LLR = 40.0     # padding lanes decode to all-zeros at iteration 0
 
@@ -61,8 +65,17 @@ _PAD_LLR = 40.0     # padding lanes decode to all-zeros at iteration 0
 #   LDPC_PALLAS_SYN_EVERY: check the syndrome every k-th iteration.
 #     DIAGNOSTIC ONLY for cost attribution — k>1 changes the freeze
 #     semantics (pyldpc checks every iteration) and must never ship.
+#   LDPC_PALLAS_MSG_DTYPE: "f32" (default) | "bf16" — check->var message
+#     scratch storage dtype. bf16 halves the (dv, dc, Z, W) VMEM footprint
+#     (8 -> 4 MB at Z=64, W=128) enabling W=256 lanes/program; arithmetic
+#     stays f32 (upcast on read, downcast on write), so the only numeric
+#     change is ~8-bit-mantissa message quantization — a round-4 A/B
+#     candidate (VERDICT r03 #2), BER-validated before any default change.
 _ATANH_IMPL = os.environ.get("LDPC_PALLAS_ATANH", "log")
 _SYN_EVERY = int(os.environ.get("LDPC_PALLAS_SYN_EVERY", "1"))
+_MSG_DTYPE = (jnp.bfloat16
+              if os.environ.get("LDPC_PALLAS_MSG_DTYPE", "f32") == "bf16"
+              else jnp.float32)
 
 
 def _roll(x: jnp.ndarray, s: int, Z: int) -> jnp.ndarray:
@@ -74,7 +87,8 @@ def _roll(x: jnp.ndarray, s: int, Z: int) -> jnp.ndarray:
 
 
 def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
-               minsum_scale: float, schedule: str = "flooding"):
+               minsum_scale: float, schedule: str = "flooding",
+               msg_dtype=None):
     """Build the kernel body with all structure baked in statically.
 
     `max_iter` is the STATIC trip count the kernel compiles with; the
@@ -94,6 +108,7 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
     tests/test_ldpc_qc.py + the TPU parity reruns) — the decode-bound
     e2e path runs layered at max_iter/2 by LdpcConfig.schedule."""
     shifts = [[int(shifts[i][j]) for j in range(dc)] for i in range(dv)]
+    msg_dtype = _MSG_DTYPE if msg_dtype is None else msg_dtype
 
     def kernel(lc_ref, cap_ref, bits_ref, stats_ref, r_ref, lt_ref=None):
         one = jnp.ones((Z, W), jnp.float32)
@@ -102,10 +117,13 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
         def lc(j):
             return lc_ref[j * Z:(j + 1) * Z, :]
 
+        def r(i, j):
+            return r_ref[i, j].astype(jnp.float32)
+
         def r_sum(j):
-            t = r_ref[0, j]
+            t = r(0, j)
             for i in range(1, dv):
-                t = t + r_ref[i, j]
+                t = t + r(i, j)
             return t
 
         def posterior(j):
@@ -178,7 +196,10 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
             out = [None] * dc
             for j in range(dc - 1, -1, -1):
                 prod = jnp.clip(fwd[j] * bwd, -0.9999999, 0.9999999)
-                if _ATANH_IMPL == "log":
+                if _ATANH_IMPL == "log2":
+                    # two plain logs, no divide — A/B vs the log+div form
+                    rc = jnp.log(1.0 + prod) - jnp.log(1.0 - prod)
+                elif _ATANH_IMPL == "log":
                     # 2*atanh(p) = log((1+p)/(1-p)): ONE transcendental +
                     # a divide instead of two log1p calls — same math
                     # (A/B: tools/bench_bp_itercost.py)
@@ -190,7 +211,7 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
             return out
 
         # --- iteration 0: zero messages, channel-only decision -------------
-        r_ref[...] = jnp.zeros((dv, dc, Z, W), jnp.float32)
+        r_ref[...] = jnp.zeros((dv, dc, Z, W), msg_dtype)
         if schedule == "layered":
             for j in range(dc):
                 lt_ref[j] = lc(j)
@@ -212,23 +233,23 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
                     # uses the UNclipped q (flooding never clips Ltot
                     # either); only the message entering the check clips.
                     for i in range(dv):
-                        q = [lt_ref[j] - r_ref[i, j] for j in range(dc)]
+                        q = [lt_ref[j] - r(i, j) for j in range(dc)]
                         qc = [jnp.clip(q[j], -MSG_CLIP, MSG_CLIP)
                               for j in range(dc)]
                         r_new = check_update_row(i, qc)
                         for j in range(dc):
-                            r_ref[i, j] = r_new[j]
+                            r_ref[i, j] = r_new[j].astype(msg_dtype)
                             lt_ref[j] = q[j] + r_new[j]
                 else:
                     # flooding: all rows update from the same posteriors
                     Ltot = [lc(j) + r_sum(j) for j in range(dc)]
                     for i in range(dv):
-                        q = [jnp.clip(Ltot[j] - r_ref[i, j],
+                        q = [jnp.clip(Ltot[j] - r(i, j),
                                       -MSG_CLIP, MSG_CLIP)
                              for j in range(dc)]
                         r_new = check_update_row(i, q)
                         for j in range(dc):
-                            r_ref[i, j] = r_new[j]
+                            r_ref[i, j] = r_new[j].astype(msg_dtype)
                 if _SYN_EVERY > 1:
                     # diagnostic cost-attribution mode only (see knob doc)
                     @pl.when(jnp.mod(it, _SYN_EVERY) == _SYN_EVERY - 1)
@@ -245,15 +266,16 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8))
 def _decode_padded(shape_key, lc_nat_T: jnp.ndarray, iter_cap: jnp.ndarray,
                    max_iter: int, algo: str, minsum_scale: float, qc_static,
-                   schedule: str = "flooding"):
+                   schedule: str = "flooding", msg_dtype=None):
     Z, dv, dc, shifts = qc_static
     n, Bp = lc_nat_T.shape
     kernel = _bp_kernel(Z, dv, dc, shifts, max_iter, algo, minsum_scale,
-                        schedule)
-    scratch = [pltpu.VMEM((dv, dc, Z, W), jnp.float32)]
+                        schedule, msg_dtype)
+    scratch = [pltpu.VMEM((dv, dc, Z, W),
+                          _MSG_DTYPE if msg_dtype is None else msg_dtype)]
     if schedule == "layered":
         scratch.append(pltpu.VMEM((dc, Z, W), jnp.float32))
     bits_T, stats = pl.pallas_call(
@@ -278,7 +300,7 @@ def ldpc_decode_bp_pallas(code: LdpcCode, llr: jnp.ndarray,
                           minsum_scale: float = 0.75,
                           return_stats: bool = False,
                           iter_cap=None, schedule: str = "flooding",
-                          pass1_iters=None):
+                          pass1_iters=None, msg_dtype=None):
     """Drop-in fast path for ldpc_decode_bp on QC codes (TPU backends).
 
     llr (B, n) channel LLRs in pipeline bit order; returns hard bits (B, n)
@@ -303,6 +325,39 @@ def ldpc_decode_bp_pallas(code: LdpcCode, llr: jnp.ndarray,
     disappear. Pyldpc parity is therefore untouched (reference maxiter
     loop: OFDM_SISO_NBF_LDPC.py:484).
     """
+    bits, stats = _decode_impl(code, llr, max_iter, algo, minsum_scale,
+                               iter_cap, schedule, pass1_iters, None,
+                               msg_dtype)
+    if return_stats:
+        return bits, stats
+    return bits
+
+
+def ldpc_decode_bp_pallas_counts(code: LdpcCode, llr: jnp.ndarray,
+                                 info_bits: jnp.ndarray,
+                                 max_iter: int = 100, algo: str = "sumprod",
+                                 minsum_scale: float = 0.75,
+                                 iter_cap=None, schedule: str = "flooding",
+                                 pass1_iters=None, msg_dtype=None):
+    """Decode + count info-bit errors WITHOUT materialising natural-order
+    bits: the Monte-Carlo pipelines only consume per-codeword error counts,
+    and transposing the (n, B) kernel output back to (B, n) plus the
+    natural->pipeline permutation costs ~30 ms per GB at flagship batches
+    (tools/bench_decode_pieces.py — XLA transposes run ~30 GB/s). Counting
+    happens in the kernel's own transposed domain: a k-row gather of the
+    info rows compared against the (k, B) transposed truth.
+
+    info_bits (B, k) in pipeline order. Returns (err (B,) int32 info-bit
+    errors per codeword, stats dict) — decode results identical to
+    ldpc_decode_bp_pallas (same kernel passes; asserted in
+    tests/test_ldpc_qc.py)."""
+    return _decode_impl(code, llr, max_iter, algo, minsum_scale,
+                        iter_cap, schedule, pass1_iters, info_bits,
+                        msg_dtype)
+
+
+def _decode_impl(code, llr, max_iter, algo, minsum_scale, iter_cap,
+                 schedule, pass1_iters, count_against, msg_dtype=None):
     qc = code.qc
     assert qc is not None, "pallas decoder requires a QC code (make_qc_ldpc)"
     # Contract: `max_iter` (the compiled trip count) must dominate every
@@ -323,6 +378,10 @@ def ldpc_decode_bp_pallas(code: LdpcCode, llr: jnp.ndarray,
                  tuple(tuple(int(s) for s in row) for row in qc.shifts))
     cap = max_iter if iter_cap is None else iter_cap
     cap = jnp.minimum(jnp.asarray(cap, jnp.int32), jnp.int32(max_iter))
+    counts_mode = count_against is not None
+    if counts_mode:
+        # natural-order rows holding the pipeline info columns m..n-1
+        info_rows = jnp.asarray(qc.perm[code.m:])
 
     def _run(lc_rows, run_cap, trips):
         """trips = the kernel's STATIC fori_loop count. Iterations past the
@@ -335,30 +394,49 @@ def ldpc_decode_bp_pallas(code: LdpcCode, llr: jnp.ndarray,
         bits_T, stats = _decode_padded(None, lc_T, run_cap.reshape(1),
                                        int(trips), algo,
                                        float(minsum_scale), qc_static,
-                                       schedule)
-        bits_nat = bits_T[:, :B].T                   # (B, n) natural order
+                                       schedule, msg_dtype)
         it = stats[0, :B].astype(jnp.int32)
         conv = stats[1, :B] > 0.5
-        return bits_nat, it, conv
+        return bits_T, it, conv
+
+    def _result(bits_T, truth):
+        """Counts mode: per-codeword info-bit errors straight from the
+        transposed kernel output (k-row gather, no (n, B) transpose).
+        Bits mode: the (B, n) pipeline-order hard bits."""
+        if counts_mode:
+            sub = bits_T[info_rows][:, :B]                 # (k, B)
+            bad = sub != truth.T.astype(bits_T.dtype)
+            return jnp.sum(bad.astype(jnp.int32), axis=0)  # (B,)
+        return bits_T[:, :B].T[:, jnp.asarray(qc.perm)].astype(jnp.int8)
 
     if pass1_iters is not None and int(pass1_iters) < int(max_iter):
         k1 = jnp.minimum(jnp.int32(int(pass1_iters)), cap)
-        b1, it1, cv1 = _run(lc_nat, k1, int(pass1_iters))
-        # converged rows re-enter as their decided bits at +-PAD (zero
-        # syndrome at iteration 0 -> frozen before any BP iteration);
-        # stable sort packs stragglers (False first) into dense tiles
+        bT1, it1, cv1 = _run(lc_nat, k1, int(pass1_iters))
+        r1 = _result(bT1, count_against)
+        # Converged rows re-enter pass 2 as rows that freeze at iteration 0
+        # (zero syndrome before any BP work); a stable sort packs the
+        # stragglers (False first) into dense tiles which re-run FROM
+        # SCRATCH at the full budget. Converged lanes' pass-2 results are
+        # DISCARDED (the final merge takes pass-1 values for them), so the
+        # re-entry content only needs to freeze instantly: constant +PAD
+        # (the all-zeros codeword) does, without hauling pass-1's decoded
+        # bits back to row-major order. Straggler lanes' rows, tile
+        # packing, and budgets are unchanged, so their trajectories — and
+        # the merged result — stay bit-identical to the single-pass decode.
         order = jnp.argsort(cv1, stable=True)
-        lc2 = jnp.where(cv1[:, None], _PAD_LLR * (1.0 - 2.0 * b1), lc_nat)
-        b2, it2, cv2 = _run(lc2[order], cap, int(max_iter))
+        lc2 = jnp.where(cv1[:, None], _PAD_LLR, lc_nat)
+        bT2, it2, cv2 = _run(lc2[order], cap, int(max_iter))
+        r2 = _result(bT2, count_against[order] if counts_mode else None)
         inv = jnp.argsort(order, stable=True)
-        b2, it2, cv2 = b2[inv], it2[inv], cv2[inv]
-        bits_nat = jnp.where(cv1[:, None], b1, b2)
+        r2, it2, cv2 = r2[inv], it2[inv], cv2[inv]
+        if counts_mode:
+            result = jnp.where(cv1, r1, r2)
+        else:
+            result = jnp.where(cv1[:, None], r1, r2)
         it = jnp.where(cv1, it1, it2)
         conv = cv1 | cv2
     else:
-        bits_nat, it, conv = _run(lc_nat, cap, int(max_iter))
+        bT, it, conv = _run(lc_nat, cap, int(max_iter))
+        result = _result(bT, count_against)
 
-    bits = bits_nat[:, jnp.asarray(qc.perm)].astype(jnp.int8)
-    if return_stats:
-        return bits, {"iterations": it, "converged": conv}
-    return bits
+    return result, {"iterations": it, "converged": conv}

@@ -14,7 +14,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..config import SimConfig
-from ..ldpc import make_code, ldpc_decode_bp, llr_from_yobs
+from ..ldpc import (make_code, ldpc_decode_bp_counts,
+                    llr_from_yobs)
 from ..ops import symbols_to_bits_hard, qam_llrs_maxlog, est_sigma2_from_decision
 from ..ops.analytics import channel_svd_metrics
 from .common import synth_block, detect_data_symbols, data_bits_for_blocks
@@ -122,21 +123,19 @@ def run_nbf_blocks(cfg: SimConfig, ebno_db, bkeys,
             Lc_all.append(llr_from_yobs(y_obs, snr_db=1.0)
                           .reshape(-1, N * m))
         ncw = Lc_all[0].shape[0]
-        d_hat, st = ldpc_decode_bp(code, jnp.concatenate(Lc_all, axis=0),
-                                   max_iter,
-                                   algo=cfg.ldpc.algo,
-                                   minsum_scale=cfg.ldpc.minsum_scale,
-                                   return_stats=True,
-                                   max_iter_bound=2 * cfg.ldpc.max_iter,
-                                   schedule=cfg.ldpc.schedule,
-                                   pass1_iters=cfg.ldpc.pass1_iters)
+        truth = jnp.concatenate([u_sel.reshape(-1, code.k)] * len(names),
+                                axis=0)
+        err, st = ldpc_decode_bp_counts(code, jnp.concatenate(Lc_all, axis=0),
+                                        truth, max_iter,
+                                        algo=cfg.ldpc.algo,
+                                        minsum_scale=cfg.ldpc.minsum_scale,
+                                        max_iter_bound=2 * cfg.ldpc.max_iter,
+                                        schedule=cfg.ldpc.schedule,
+                                        pass1_iters=cfg.ldpc.pass1_iters)
         for i, name in enumerate(names):
             sl = slice(i * ncw, (i + 1) * ncw)
-            u_hat = d_hat[sl, code.m:].reshape(B, Dd, n_tx, code.k)
-            bad = u_hat != u_sel
-            info_errors[name] = jnp.sum(bad.astype(jnp.int32))
-            frame_errors[name] = jnp.sum(jnp.any(bad, axis=-1)
-                                         .astype(jnp.int32))
+            info_errors[name] = jnp.sum(err[sl])
+            frame_errors[name] = jnp.sum((err[sl] > 0).astype(jnp.int32))
             iter_sum[name] = jnp.sum(st["iterations"][sl])
             unconv[name] = jnp.sum((~st["converged"][sl]).astype(jnp.int32))
         total_info = jnp.asarray(u_sel.size, dtype=jnp.int32)

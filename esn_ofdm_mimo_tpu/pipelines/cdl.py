@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SimConfig
-from ..ldpc import make_code, ldpc_decode_bp, llr_from_yobs
+from ..ldpc import (make_code, ldpc_decode_bp_counts,
+                    llr_from_yobs)
 from ..ops import symbols_to_bits_hard, qam_llrs_maxlog, est_sigma2_from_decision
 from .common import synth_block, detect_data_symbols, data_bits_for_blocks
 
@@ -160,11 +161,9 @@ def run_cdl_detect_llrs(cfg: SimConfig, ebno_db, bkeys, calib: dict):
     Returns (uncoded errs dict, total_bits, Lc dict detector -> (ncw, n),
     info_bits (ncw, k)) with ncw = B*D*n_tx codewords. Split out of the
     decode so the Monte-Carlo engine can scan detection per round but
-    decode ALL rounds in ONE batched kernel call — measured round 3: a
-    Pallas BP iteration costs ~1.0 us/tile standalone, ~1.8 us under
-    lax.scan and ~2.6-3.6 us inside the old fused-scan program, so
-    hoisting decode out of the scan recovers the context penalty AND
-    enlarges the per-call grid."""
+    decode ALL rounds in ONE batched kernel call (round-4 re-measurement:
+    with decode hoisted out of the scan the kernel runs at its
+    flat-dispatch rate in every context — PARITY.md round-4 decode study)."""
     N, m = cfg.ofdm.n_subcarriers, cfg.ofdm.bits_per_symbol
     n_tx = cfg.channel.n_tx
     D = cfg.data_symbols_per_block
@@ -205,17 +204,17 @@ def cdl_decode_counters(cfg: SimConfig, Lcs: dict, info_bits) -> dict:
     code = make_code(cfg.ldpc, N * m)
     names = sorted(Lcs.keys())
     ncw = Lcs[names[0]].shape[0]
-    d_hat, st = ldpc_decode_bp(
-        code, jnp.concatenate([Lcs[n] for n in names], axis=0),
+    truth = jnp.concatenate([info_bits] * len(names), axis=0)
+    err, st = ldpc_decode_bp_counts(
+        code, jnp.concatenate([Lcs[n] for n in names], axis=0), truth,
         cfg.ldpc.max_iter, algo=cfg.ldpc.algo,
-        minsum_scale=cfg.ldpc.minsum_scale, return_stats=True,
+        minsum_scale=cfg.ldpc.minsum_scale,
         schedule=cfg.ldpc.schedule, pass1_iters=cfg.ldpc.pass1_iters)
     info_errors, frame_errors, iter_sum, unconv = {}, {}, {}, {}
     for i, name in enumerate(names):
         sl = slice(i * ncw, (i + 1) * ncw)
-        bad = d_hat[sl, code.m:] != info_bits
-        info_errors[name] = jnp.sum(bad.astype(jnp.int32))
-        frame_errors[name] = jnp.sum(jnp.any(bad, axis=-1).astype(jnp.int32))
+        info_errors[name] = jnp.sum(err[sl])
+        frame_errors[name] = jnp.sum((err[sl] > 0).astype(jnp.int32))
         iter_sum[name] = jnp.sum(st["iterations"][sl])
         unconv[name] = jnp.sum((~st["converged"][sl]).astype(jnp.int32))
     return {"info_errors": info_errors, "frame_errors": frame_errors,

@@ -302,3 +302,46 @@ def test_two_pass_compaction_is_bit_exact():
     # some did not) — otherwise this test exercises nothing
     it = np.asarray(s1["iterations"])
     assert (it <= 6).any() and (it > 6).any()
+
+
+@pytest.mark.slow
+def test_counts_mode_matches_bits_mode():
+    """ldpc_decode_bp_pallas_counts (transposed-domain error counting, the
+    Monte-Carlo pipelines' path) must agree exactly with decoding bits and
+    comparing — with and without two-pass compaction (whose pass-2 re-entry
+    for converged lanes is constant +PAD in counts mode: their results are
+    discarded, so stragglers' trajectories are unchanged)."""
+    from unittest import mock
+    from esn_ofdm_mimo_tpu.ldpc import decode_pallas, ldpc_encode
+
+    code = make_qc_ldpc(512)
+    B = 48
+    u, llr = _awgn_llrs(code, B, 2.0, seed=77)
+
+    with jax.disable_jit():
+        import jax.experimental.pallas as pl  # noqa: F401
+        orig = pl.pallas_call
+
+        def interp_call(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        with mock.patch.object(decode_pallas.pl, "pallas_call", interp_call):
+            bits, s_b = decode_pallas.ldpc_decode_bp_pallas(
+                code, jnp.asarray(llr), 25, "sumprod", 0.75, True,
+                pass1_iters=6)
+            err, s_c = decode_pallas.ldpc_decode_bp_pallas_counts(
+                code, jnp.asarray(llr), jnp.asarray(u), 25,
+                "sumprod", 0.75, pass1_iters=6)
+            err_np, s_n = decode_pallas.ldpc_decode_bp_pallas_counts(
+                code, jnp.asarray(llr), jnp.asarray(u), 25,
+                "sumprod", 0.75, pass1_iters=None)
+
+    want = (np.asarray(bits)[:, code.m:] != u).sum(axis=1)
+    np.testing.assert_array_equal(np.asarray(err), want)
+    np.testing.assert_array_equal(np.asarray(err_np), want)
+    np.testing.assert_array_equal(np.asarray(s_b["iterations"]),
+                                  np.asarray(s_c["iterations"]))
+    np.testing.assert_array_equal(np.asarray(s_b["converged"]),
+                                  np.asarray(s_c["converged"]))
+    assert (want > 0).any() and (want == 0).any()   # both outcomes present

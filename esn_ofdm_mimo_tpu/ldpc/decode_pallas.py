@@ -110,7 +110,7 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
     shifts = [[int(shifts[i][j]) for j in range(dc)] for i in range(dv)]
     msg_dtype = _MSG_DTYPE if msg_dtype is None else msg_dtype
 
-    def kernel(lc_ref, cap_ref, bits_ref, stats_ref, r_ref, lt_ref=None):
+    def kernel(lc_ref, cap_ref, bits_ref, stats_ref, r_ref, lt_ref):
         one = jnp.ones((Z, W), jnp.float32)
         cap = cap_ref[0]
 
@@ -127,11 +127,13 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
             return t
 
         def posterior(j):
-            """Total per-variable LLR: maintained incrementally (layered)
-            or recomputed from the messages (flooding)."""
-            if schedule == "layered":
-                return lt_ref[j]
-            return lc(j) + r_sum(j)
+            """Total per-variable LLR, always read from the lt_ref scratch:
+            layered maintains it incrementally; flooding refreshes it once
+            per iteration after the message updates — the same value the
+            next iteration needs as its Ltot, so the old two-per-iteration
+            posterior computations (body start + decide) collapse to one
+            (bit-identical: same expression, same op order)."""
+            return lt_ref[j]
 
         def decide_and_check():
             """Posterior decision per variable + per-lane syndrome-ok flag."""
@@ -146,14 +148,31 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
                 bad = jnp.maximum(bad, jnp.max(par, axis=0, keepdims=True))
             return d, (bad < 0.5).astype(jnp.float32)    # ok: (1, W)
 
-        def freeze(d, ok, it_val):
-            """Write decisions for not-yet-frozen lanes; update stats."""
+        def freeze(d, ok, it_val, force=None):
+            """Write decisions for not-yet-frozen lanes; update stats.
+
+            The dc block writes only run when a lane just froze or this is
+            the last executed iteration (force): frozen lanes never change,
+            and unfrozen lanes only need their FINAL posterior decision
+            (pyldpc keeps the final message for unconverged codewords), so
+            intermediate writes are dead — skipping them saves 8 masked
+            (Z, W) stores per tile-iteration, bit-identically."""
             prev_done = stats_ref[1:2, :]
             upd = 1.0 - prev_done                         # (1, W)
-            for j in range(dc):
-                blk = bits_ref[j * Z:(j + 1) * Z, :]
-                bits_ref[j * Z:(j + 1) * Z, :] = jnp.where(upd > 0.5, d[j], blk)
             just = upd * ok
+
+            def write_bits():
+                for j in range(dc):
+                    blk = bits_ref[j * Z:(j + 1) * Z, :]
+                    bits_ref[j * Z:(j + 1) * Z, :] = jnp.where(
+                        upd > 0.5, d[j], blk)
+
+            if force is None:
+                write_bits()
+            else:
+                @pl.when(force | (jnp.max(just) > 0.5))
+                def _w():
+                    write_bits()
             stats_ref[0:1, :] = jnp.where(just > 0.5, jnp.full((1, W), it_val,
                                                                jnp.float32),
                                           stats_ref[0:1, :])
@@ -212,9 +231,8 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
 
         # --- iteration 0: zero messages, channel-only decision -------------
         r_ref[...] = jnp.zeros((dv, dc, Z, W), msg_dtype)
-        if schedule == "layered":
-            for j in range(dc):
-                lt_ref[j] = lc(j)
+        for j in range(dc):
+            lt_ref[j] = lc(j)               # posterior with zero messages
         stats_ref[...] = jnp.zeros((8, W), jnp.float32)
         # unconverged lanes report the *effective* iteration budget
         stats_ref[0:1, :] = jnp.full((1, W), 1.0, jnp.float32) * cap.astype(jnp.float32)
@@ -241,8 +259,11 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
                             r_ref[i, j] = r_new[j].astype(msg_dtype)
                             lt_ref[j] = q[j] + r_new[j]
                 else:
-                    # flooding: all rows update from the same posteriors
-                    Ltot = [lc(j) + r_sum(j) for j in range(dc)]
+                    # flooding: all rows update from the same pre-iteration
+                    # posteriors (lt_ref, refreshed at the end of the
+                    # previous iteration — identical to recomputing
+                    # lc + r_sum here)
+                    Ltot = [lt_ref[j] for j in range(dc)]
                     for i in range(dv):
                         q = [jnp.clip(Ltot[j] - r(i, j),
                                       -MSG_CLIP, MSG_CLIP)
@@ -250,6 +271,8 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
                         r_new = check_update_row(i, q)
                         for j in range(dc):
                             r_ref[i, j] = r_new[j].astype(msg_dtype)
+                    for j in range(dc):
+                        lt_ref[j] = lc(j) + r_sum(j)
                 if _SYN_EVERY > 1:
                     # diagnostic cost-attribution mode only (see knob doc)
                     @pl.when(jnp.mod(it, _SYN_EVERY) == _SYN_EVERY - 1)
@@ -258,7 +281,8 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
                         freeze(d, ok, jnp.float32(it) + 1.0)
                 else:
                     d, ok = decide_and_check()
-                    freeze(d, ok, jnp.float32(it) + 1.0)
+                    is_last = (it + 1) >= cap
+                    freeze(d, ok, jnp.float32(it) + 1.0, force=is_last)
             return carry
 
         jax.lax.fori_loop(0, max_iter, body, None)
@@ -275,9 +299,9 @@ def _decode_padded(shape_key, lc_nat_T: jnp.ndarray, iter_cap: jnp.ndarray,
     kernel = _bp_kernel(Z, dv, dc, shifts, max_iter, algo, minsum_scale,
                         schedule, msg_dtype)
     scratch = [pltpu.VMEM((dv, dc, Z, W),
-                          _MSG_DTYPE if msg_dtype is None else msg_dtype)]
-    if schedule == "layered":
-        scratch.append(pltpu.VMEM((dc, Z, W), jnp.float32))
+                          _MSG_DTYPE if msg_dtype is None else msg_dtype),
+               # posterior scratch (both schedules; see posterior())
+               pltpu.VMEM((dc, Z, W), jnp.float32)]
     bits_T, stats = pl.pallas_call(
         kernel,
         grid=(Bp // W,),

@@ -430,6 +430,59 @@ def make_fused_cdl_snr_step(cfg: SimConfig, mesh):
     return snr_step
 
 
+def make_fused_cdl_grid(cfg: SimConfig, mesh, blocks_per_device: int,
+                        cal_rounds: int, dec_rounds: int):
+    """ONE dispatch for the WHOLE CDL SNR grid: lax.scan over SNR points,
+    each running cal rounds + calibrator fit + stacked decode rounds (the
+    make_fused_cdl_snr_step body), with per-SNR counters and calibrators
+    stacked in the output. Completes the NBF symmetry (make_fused_nbf_grid):
+    the relay's heavy-tailed per-dispatch latency hits once per experiment
+    instead of once per SNR.
+
+    Per-block keys fold on-device from (root, snr index, global block id) —
+    the identical stream to block_keys() on the host — so the fused grid is
+    bit-compatible with the per-SNR dispatch path for every classical
+    counter (asserted in tests/test_montecarlo.py)."""
+    cal_sm, dec_sm = make_sharded_cdl_steps(cfg, mesh)
+    m = cfg.ofdm.bits_per_symbol
+    fit = functools.partial(fit_calibrators, cfg)
+    n_dev = mesh.devices.size
+    G = n_dev * blocks_per_device
+    ebnos = jnp.asarray(cfg.ebno_db, dtype=jnp.float32)
+    n_snr = ebnos.shape[0]
+
+    @jax.jit
+    def grid(root):
+        def snr_body(_, jx):
+            jj, ebno = jx
+            ids = jnp.arange((cal_rounds + dec_rounds) * G, dtype=jnp.uint32)
+            keys = block_keys(root, jj, ids)
+            ck = keys[:cal_rounds * G].reshape(cal_rounds, G, -1)
+            dk = keys[cal_rounds * G:].reshape(dec_rounds, G, -1)
+
+            def cal_body(acc, k):
+                out = cal_sm(ebno, k)
+                errs, tot = acc
+                errs = {d: errs[d] + out.bit_errors[d] for d in errs}
+                llr = {d: out.llr[d].reshape(-1, m) for d in out.llr}
+                return ((errs, tot + out.total_bits),
+                        (llr, out.bits.reshape(-1, m)))
+
+            zero = ({d: jnp.zeros((), jnp.int32) for d in CDL_DETECTORS},
+                    jnp.zeros((), jnp.int32))
+            (errs, tot), (llrs, bits) = jax.lax.scan(cal_body, zero, ck)
+            calib = fit({d: llrs[d].reshape(-1, m) for d in llrs},
+                        bits.reshape(-1, m))
+            dec = dec_sm(ebno, dk, calib)
+            return None, (errs, tot, dec, calib)
+
+        _, out = jax.lax.scan(
+            snr_body, None, (jnp.arange(n_snr, dtype=jnp.uint32), ebnos))
+        return out                   # pytrees with leading (n_snr,) axis
+
+    return grid
+
+
 def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
                   blocks_per_device: int = 2, mesh=None,
                   seed: Optional[int] = None,
@@ -478,7 +531,20 @@ def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
                         int(6e8 // (G * bpb * 4))))
     rd_fused = min(dec_rounds, max_rd)
     rd_extra = dec_rounds - rd_fused
-    snr_step = make_fused_cdl_snr_step(cfg, mesh)
+    # whole-grid fusion (like run_nbf_curve): when no per-SNR checkpointing
+    # is requested, ONE dispatch scans every SNR point's cal + fit + decode
+    # on device — the relay's heavy-tailed dispatch+sync latency then hits
+    # once per experiment. The key streams are identical to the per-SNR
+    # path (on-device block_keys with the same (root, jj, id) folding), so
+    # classical counters are bit-compatible (tests/test_montecarlo.py).
+    grid_out = None
+    if checkpoint is None:
+        grid = make_fused_cdl_grid(cfg, mesh, blocks_per_device,
+                                   cal_rounds, rd_fused)
+        grid_out = jax.device_get(_call_with_retry(grid, (root,),
+                                                   progress=progress))
+    else:
+        snr_step = make_fused_cdl_snr_step(cfg, mesh)
     dec_step = None
     if rd_extra:
         _, dec_step = make_sharded_cdl_steps(cfg, mesh)
@@ -492,16 +558,20 @@ def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
             if loaded is not None:
                 results.append(loaded)
                 continue
-        ckeys = block_keys(root, jj,
-                           jnp.arange(cal_rounds * G, dtype=jnp.uint32))
-        ckeys = ckeys.reshape(cal_rounds, G, *ckeys.shape[1:])
-        bid = cal_rounds * G
-        dkeys = block_keys(root, jj, jnp.arange(
-            bid, bid + rd_fused * G, dtype=jnp.uint32))
-        dkeys = dkeys.reshape(rd_fused, G, *dkeys.shape[1:])
-        bid += rd_fused * G
-        errs_d, tot_d, dec_d, calib_d = _call_with_retry(
-            snr_step, (jnp.float32(ebno), ckeys, dkeys), progress=progress)
+        bid = (cal_rounds + rd_fused) * G
+        if grid_out is not None:
+            errs_d, tot_d, dec_d, calib_d = jax.tree.map(
+                lambda x: x[jj], grid_out)
+        else:
+            ckeys = block_keys(root, jj,
+                               jnp.arange(cal_rounds * G, dtype=jnp.uint32))
+            ckeys = ckeys.reshape(cal_rounds, G, *ckeys.shape[1:])
+            dkeys = block_keys(root, jj, jnp.arange(
+                cal_rounds * G, bid, dtype=jnp.uint32))
+            dkeys = dkeys.reshape(rd_fused, G, *dkeys.shape[1:])
+            errs_d, tot_d, dec_d, calib_d = _call_with_retry(
+                snr_step, (jnp.float32(ebno), ckeys, dkeys),
+                progress=progress)
         uncoded = {"bit_errors": jax.device_get(errs_d),
                    "total_bits": int(tot_d)}
         coded = jax.tree.map(lambda x: np.asarray(x, np.int64),

@@ -308,6 +308,35 @@ def test_nbf_adaptive_uncoded_stops_on_bit_errors():
     np.testing.assert_array_equal(sat.n_blocks, 8)
 
 
+@pytest.mark.slow
+def test_cdl_whole_grid_matches_per_snr_path(tmp_path):
+    """The fused whole-grid CDL dispatch (one lax.scan over SNR points)
+    must reproduce the per-SNR dispatch path bit-for-bit on the classical
+    counters and calibrators — identical key streams by construction."""
+    import dataclasses
+    from esn_ofdm_mimo_tpu.config import CalibConfig, ChannelConfig
+    from esn_ofdm_mimo_tpu.parallel.montecarlo import run_cdl_curve
+    from esn_ofdm_mimo_tpu.utils.checkpoint import SnrCheckpoint
+
+    cfg = dataclasses.replace(
+        tiny_cfg(calib=CalibConfig(enabled=True, cal_fraction=0.5)),
+        channel=ChannelConfig(kind="cdl_b", n_tx=1, n_rx=2))
+    mesh = trials_mesh(8)
+    fused = run_cdl_curve(cfg, blocks_per_snr=16, blocks_per_device=1,
+                          mesh=mesh, progress=None)
+    per_snr = run_cdl_curve(cfg, blocks_per_snr=16, blocks_per_device=1,
+                            mesh=mesh, progress=None,
+                            checkpoint=SnrCheckpoint(str(tmp_path)))
+    assert len(fused) == len(per_snr) == len(cfg.ebno_db)
+    for a, b in zip(fused, per_snr):
+        assert a["ber_uncoded"]["mmse"] == b["ber_uncoded"]["mmse"]
+        assert a["ber_coded"]["mmse"] == b["ber_coded"]["mmse"]
+        np.testing.assert_allclose(np.asarray(a["calib"]["mmse"]),
+                                   np.asarray(b["calib"]["mmse"]),
+                                   rtol=1e-5)
+        assert a["ldpc_avg_iters"]["mmse"] == b["ldpc_avg_iters"]["mmse"]
+
+
 def test_esn_target_waveform_modes():
     """pre_pa (parity: reference trains on the clean x_CP while x_CP_NLD
     enters the channel) and post_pa (extension) must differ exactly when

@@ -214,6 +214,11 @@ def main() -> None:
     fl = cdl_flops(cfg, n_blocks)
     D = cfg.data_symbols_per_block
     cal_samples = cal_r * n_blocks * D * cfg.channel.n_tx * cfg.ofdm.n_subcarriers
+    # the fit stride-subsamples to calib.max_fit_samples (round 4) — count
+    # the FLOPs actually executed
+    cap = cfg.calib.max_fit_samples
+    if cap is not None and cal_samples > cap:
+        cal_samples = cal_samples // -(-cal_samples // int(cap))
     f_fit = calib_fit_flops(cfg.ofdm.bits_per_symbol, cal_samples,
                             cfg.calib.gd_steps)
 

@@ -257,3 +257,94 @@ def nr_lifted_H(code: NrCode) -> np.ndarray:
     for i, j, s in code.H_rows:
         H[i * Z:(i + 1) * Z, j * Z:(j + 1) * Z] = _lift_block(s, Z)
     return H
+
+
+# --------------------------------------------------------------------------
+# decoder (the reference instantiates LDPC5GDecoder at
+# esn_ofdm_mimo_via_cdl.py:69 but never calls it; implemented here for
+# component completeness and round-trip validation)
+# --------------------------------------------------------------------------
+
+def _nr_index_tensors(code: NrCode):
+    """Padded dense check->variable index tensors for the irregular lifted
+    graph: (M, Dc) variable indices per lifted check, padded with the
+    sentinel variable N_full whose LLR is pinned huge-positive (tanh -> 1 is
+    the neutral element of the check product; its decision 0 is neutral in
+    the syndrome)."""
+    Z = code.Z
+    by_row: dict = {}
+    for i, j, s in code.H_rows:
+        by_row.setdefault(i, []).append((j, s))
+    Dc = max(len(v) for v in by_row.values())
+    M = code.m_b * Z
+    N_full = code.n_b * Z
+    idx = np.full((M, Dc), N_full, np.int32)
+    for i, cols in by_row.items():
+        for t, (j, s) in enumerate(cols):
+            z = np.arange(Z)
+            idx[i * Z + np.arange(Z), t] = j * Z + (z + s) % Z
+    return idx, N_full
+
+
+def nr_derate_llrs(code: NrCode, llr_e):
+    """Rate-recovery (§5.4.2 inverse, rv0): scatter received LLRs back to
+    the N_full codeword positions — punctured bits get 0 (unknown), filler
+    bits get a huge positive LLR (known zero), repeated positions add."""
+    import jax.numpy as jnp
+    B = llr_e.shape[0]
+    N_full = code.n_b * code.Z
+    full = jnp.zeros((B, N_full), jnp.float32)
+    full = full.at[:, jnp.asarray(code.sel)].add(llr_e.astype(jnp.float32))
+    if code.F:
+        full = full.at[:, code.k:code.K].set(1e4)
+    return full
+
+
+def nr_decode_bp(code: NrCode, llr_e, max_iter: int = 20):
+    """Flooding sum-product BP on the irregular lifted graph; returns
+    (u_hat (B, k) int8, converged (B,) bool). llr_e (B, E) rate-matched
+    channel LLRs (positive <=> bit 0). Same message semantics as
+    ldpc/decode.py (clip +-16, per-codeword syndrome stop)."""
+    import jax
+    import jax.numpy as jnp
+    idx_np, N_full = _nr_index_tensors(code)
+    idx = jnp.asarray(idx_np)
+    Lc = nr_derate_llrs(code, llr_e)
+    B = Lc.shape[0]
+    # sentinel variable: huge LLR -> tanh=1 neutral, decision 0
+    Lc = jnp.concatenate([Lc, jnp.full((B, 1), 1e4, jnp.float32)], axis=1)
+    M, Dc = idx.shape
+    clip = 16.0
+
+    def posterior(r):
+        acc = jnp.zeros((B, N_full + 1), jnp.float32)
+        return Lc + acc.at[:, idx.reshape(-1)].add(
+            r.reshape(B, -1)).at[:, N_full].set(0.0)
+
+    from .decode import _leave_one_out_prod
+
+    def step(carry, _):
+        r, done, bits = carry
+        L = posterior(r)
+        q = jnp.clip(L[:, idx] - r, -clip, clip)          # (B, M, Dc)
+        t = jnp.tanh(0.5 * q)
+        # exact leave-one-out product along the slot axis (cumprods — no
+        # division: punctured bits start at LLR 0, i.e. t = 0)
+        loo = _leave_one_out_prod(t)
+        p = jnp.clip(loo, -0.9999999, 0.9999999)
+        r_new = jnp.log1p(p) - jnp.log1p(-p)
+        L_new = posterior(r_new)
+        d = (L_new < 0).astype(jnp.int32)                 # (B, N_full+1)
+        par = jnp.sum(d[:, idx], axis=-1) % 2             # (B, M)
+        ok = jnp.all(par == 0, axis=-1)
+        bits = jnp.where(done[:, None], bits, d[:, :N_full])
+        newly = ok & ~done
+        bits = jnp.where(newly[:, None], d[:, :N_full], bits)
+        return (r_new, done | ok, bits), None
+
+    r0 = jnp.zeros((B, M, Dc), jnp.float32)
+    d0 = (Lc < 0).astype(jnp.int32)
+    (r, done, bits), _ = jax.lax.scan(
+        step, (r0, jnp.zeros((B,), bool), d0[:, :N_full]), None,
+        length=max_iter)
+    return bits[:, :code.k].astype(jnp.int8), done

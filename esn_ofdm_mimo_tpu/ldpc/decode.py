@@ -156,6 +156,8 @@ def ldpc_decode_bp_counts(code: LdpcCode, llr: jnp.ndarray,
     by construction (asserted in tests/test_ldpc_qc.py).
 
     info_bits (B, k) pipeline order. Returns (err (B,) int32, stats)."""
+    if schedule not in ("flooding", "layered"):
+        raise ValueError(f"unknown BP schedule {schedule!r}")
     if code.qc is not None:
         impl = LDPC_TPU_IMPL
         if impl == "auto":

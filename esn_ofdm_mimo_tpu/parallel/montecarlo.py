@@ -17,7 +17,6 @@ Per-block PRNG keys are folded from (root seed, snr index, global block id)
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable, Dict, Optional
 
 import jax
@@ -359,10 +358,13 @@ def make_sharded_cdl_steps(cfg: SimConfig, mesh):
         # keys (R, G_local): R decode rounds scanned per dispatch (the axon
         # relay's ~35 ms/dispatch latency amortises over R). Detection runs
         # per round inside the scan; the BP decode is hoisted OUT of the
-        # scan and runs ONCE on the round-stacked LLRs — measured round 3,
-        # a Pallas BP iteration costs ~2-3x more inside a scanned/fused
-        # context than in a flat call, and the stacked batch also fills a
-        # bigger grid. Bit-identical (per-codeword decode is independent);
+        # scan and runs ONCE on the round-stacked LLRs — one big grid pays
+        # the decode path's fixed costs (pad/transpose/compaction sort)
+        # once instead of per round. (Round-4 note: the round-3 'kernel is
+        # 2-3x slower inside a scanned context' reading did not survive a
+        # cleaner instrument — PARITY.md round-4 decode study — but the
+        # fixed-cost amortisation stands.)
+        # Bit-identical (per-codeword decode is independent);
         # run_cdl_curve caps R so the stacked LLRs stay within memory.
         zero = {d: jnp.zeros((), jnp.int32) for d in CDL_DETECTORS}
 
@@ -393,6 +395,30 @@ def make_sharded_cdl_steps(cfg: SimConfig, mesh):
     return cal, dec
 
 
+def _cdl_snr_point(cfg: SimConfig, cal_sm, dec_sm, ebno, cal_keys,
+                   dec_keys):
+    """The per-SNR-point CDL program body shared by make_fused_cdl_snr_step
+    and make_fused_cdl_grid: scanned cal rounds -> calibrator fit -> stacked
+    decode rounds. One definition keeps the two dispatch modes bit-compatible
+    by construction."""
+    m = cfg.ofdm.bits_per_symbol
+
+    def cal_body(acc, keys):
+        out = cal_sm(ebno, keys)
+        errs, tot = acc
+        errs = {k: errs[k] + out.bit_errors[k] for k in errs}
+        llr = {d: out.llr[d].reshape(-1, m) for d in out.llr}
+        return (errs, tot + out.total_bits), (llr, out.bits.reshape(-1, m))
+
+    zero = ({d: jnp.zeros((), jnp.int32) for d in CDL_DETECTORS},
+            jnp.zeros((), jnp.int32))
+    (errs, tot), (llrs, bits) = jax.lax.scan(cal_body, zero, cal_keys)
+    calib = fit_calibrators(cfg, {d: llrs[d].reshape(-1, m) for d in llrs},
+                            bits.reshape(-1, m))
+    dec = dec_sm(ebno, dec_keys, calib)
+    return errs, tot, dec, calib
+
+
 def make_fused_cdl_snr_step(cfg: SimConfig, mesh):
     """ONE dispatch per SNR point: cal rounds + calibrator fit + decode
     rounds, all inside a single jitted program. The round counts are set by
@@ -406,26 +432,11 @@ def make_fused_cdl_snr_step(cfg: SimConfig, mesh):
     ~2e9 bits (run_cdl_curve guards this).
     """
     cal_sm, dec_sm = make_sharded_cdl_steps(cfg, mesh)
-    m = cfg.ofdm.bits_per_symbol
-    fit = functools.partial(fit_calibrators, cfg)
 
     @jax.jit
     def snr_step(ebno, cal_keys, dec_keys):
         # cal_keys (Rc, G, ...), dec_keys (Rd, G, ...)
-        def cal_body(acc, keys):
-            out = cal_sm(ebno, keys)
-            errs, tot = acc
-            errs = {k: errs[k] + out.bit_errors[k] for k in errs}
-            llr = {d: out.llr[d].reshape(-1, m) for d in out.llr}
-            return (errs, tot + out.total_bits), (llr, out.bits.reshape(-1, m))
-
-        zero = ({d: jnp.zeros((), jnp.int32) for d in CDL_DETECTORS},
-                jnp.zeros((), jnp.int32))
-        (errs, tot), (llrs, bits) = jax.lax.scan(cal_body, zero, cal_keys)
-        calib = fit({d: llrs[d].reshape(-1, m) for d in llrs},
-                    bits.reshape(-1, m))
-        dec = dec_sm(ebno, dec_keys, calib)
-        return errs, tot, dec, calib
+        return _cdl_snr_point(cfg, cal_sm, dec_sm, ebno, cal_keys, dec_keys)
 
     return snr_step
 
@@ -444,8 +455,6 @@ def make_fused_cdl_grid(cfg: SimConfig, mesh, blocks_per_device: int,
     bit-compatible with the per-SNR dispatch path for every classical
     counter (asserted in tests/test_montecarlo.py)."""
     cal_sm, dec_sm = make_sharded_cdl_steps(cfg, mesh)
-    m = cfg.ofdm.bits_per_symbol
-    fit = functools.partial(fit_calibrators, cfg)
     n_dev = mesh.devices.size
     G = n_dev * blocks_per_device
     ebnos = jnp.asarray(cfg.ebno_db, dtype=jnp.float32)
@@ -459,22 +468,7 @@ def make_fused_cdl_grid(cfg: SimConfig, mesh, blocks_per_device: int,
             keys = block_keys(root, jj, ids)
             ck = keys[:cal_rounds * G].reshape(cal_rounds, G, -1)
             dk = keys[cal_rounds * G:].reshape(dec_rounds, G, -1)
-
-            def cal_body(acc, k):
-                out = cal_sm(ebno, k)
-                errs, tot = acc
-                errs = {d: errs[d] + out.bit_errors[d] for d in errs}
-                llr = {d: out.llr[d].reshape(-1, m) for d in out.llr}
-                return ((errs, tot + out.total_bits),
-                        (llr, out.bits.reshape(-1, m)))
-
-            zero = ({d: jnp.zeros((), jnp.int32) for d in CDL_DETECTORS},
-                    jnp.zeros((), jnp.int32))
-            (errs, tot), (llrs, bits) = jax.lax.scan(cal_body, zero, ck)
-            calib = fit({d: llrs[d].reshape(-1, m) for d in llrs},
-                        bits.reshape(-1, m))
-            dec = dec_sm(ebno, dk, calib)
-            return None, (errs, tot, dec, calib)
+            return None, _cdl_snr_point(cfg, cal_sm, dec_sm, ebno, ck, dk)
 
         _, out = jax.lax.scan(
             snr_body, None, (jnp.arange(n_snr, dtype=jnp.uint32), ebnos))

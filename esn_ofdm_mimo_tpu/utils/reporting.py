@@ -277,11 +277,8 @@ def save_cdl_results(outdir: str, cfg, results: list) -> None:
 
 
 def _plot_curves(outdir, ebno, ber, ber_coded, title) -> None:
-    try:
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-    except Exception:
+    plt = _plt()
+    if plt is None:
         return
     fig = plt.figure(figsize=(9, 6))
     for d, v in sorted(ber.items()):

@@ -74,6 +74,16 @@ def main(argv=None) -> None:
                     help="comma-separated Eb/N0 grid override (dB) — e.g. a "
                          "fine 1 dB grid around the waterfall for the "
                          "coded-vs-uncoded error-budget analysis")
+    ap.add_argument("--channel-kind", default=None,
+                    choices=("exp_pdp", "cdl_a", "cdl_b", "cdl_c",
+                             "awgn_flat"),
+                    help="channel-profile override (framework extension: "
+                         "38.901 TDL-A/-C alongside the reference's "
+                         "exp-PDP and TDL-B; ops/channel.draw_tdl_taps)")
+    ap.add_argument("--qam-bits", type=int, default=None,
+                    help="bits per QAM symbol override (extension: any "
+                         "even m, e.g. 6 for 64-QAM through the whole "
+                         "mapper/LLR/decode stack)")
     ap.add_argument("--resume", action="store_true",
                     help="resume from per-SNR checkpoints in outdir")
     ap.add_argument("--trace", metavar="DIR", default=None,
@@ -92,6 +102,16 @@ def main(argv=None) -> None:
         import dataclasses
         grid = tuple(float(x) for x in args.ebno_list.split(","))
         cfg = dataclasses.replace(cfg, ebno_db=grid)
+    if args.channel_kind is not None:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, channel=dataclasses.replace(cfg.channel,
+                                             kind=args.channel_kind))
+    if args.qam_bits is not None:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, ofdm=dataclasses.replace(cfg.ofdm,
+                                          bits_per_symbol=args.qam_bits))
     if args.esn_target is not None:
         import dataclasses
         cfg = dataclasses.replace(

@@ -92,7 +92,7 @@ def _bench_tpu(n_blocks: int = 128, rounds: int = 64, iters: int = 3):
 
 
 def _bench_tpu_e2e(n_blocks: int = 128, cal_rounds: int = 2,
-                   dec_rounds: int = 6, iters: int = 2):
+                   dec_rounds: int = 6, iters: int = 3):
     """Decode-inclusive throughput: ONE fused dispatch per SNR point running
     calibration rounds + per-bit logistic calibrator fit + LDPC-decoded
     rounds (make_fused_cdl_snr_step) — the full flagship SNR-point program

@@ -147,6 +147,12 @@ def main() -> None:
 
     syn = results["synth_only"]
     dp = results["synth+datapath"]
+    # NOTE: every row after `taps` is a DELTA between variants, so the
+    # per-dispatch relay overhead cancels; `taps` is the absolute first
+    # variant and therefore CARRIES that overhead (~35 ms / rounds-per-
+    # dispatch per round, docs/ENVIRONMENT.md) — at 8 rounds/dispatch read
+    # it as overhead+taps, not tap-synthesis cost (round-4 check: the real
+    # taps work is <1 ms/round).
     print(f"\nattribution (ms): taps={results['taps_only']*1e3:.1f} "
           f"chanest+pilot={(results['synth_tiny_esn']-results['taps_only'])*1e3:.1f} "
           f"esn_fit={(syn-results['synth_tiny_esn'])*1e3:.1f} "

@@ -67,6 +67,11 @@ def main(argv=None) -> None:
                          "errors), or the --adaptive-max-blocks cap — "
                          "concentrates blocks at the waterfall cliff and "
                          "the deep tails")
+    ap.add_argument("--adaptive-on-uncoded", action="store_true",
+                    help="NBF pipelines: stop adaptive sampling on UNCODED "
+                         "bit errors even with LDPC enabled — for deep "
+                         "uncoded floors in coded presets (siso_qpsk_awgn "
+                         "21+ dB, coded BER exactly 0)")
     ap.add_argument("--adaptive-max-blocks", type=int, default=None,
                     help="cap on decoded blocks per SNR for "
                          "--adaptive-min-errors (default 4x blocks-per-snr)")
@@ -159,7 +164,8 @@ def main(argv=None) -> None:
                                 progress=progress,
                                 rounds_per_call=args.rounds_per_call,
                                 adaptive_min_errors=args.adaptive_min_errors,
-                                adaptive_max_blocks=args.adaptive_max_blocks)
+                                adaptive_max_blocks=args.adaptive_max_blocks,
+                                adaptive_on_uncoded=args.adaptive_on_uncoded)
             save_nbf_results(outdir, cfg, res)
     log.log("run_done", seconds=round(time.time() - t0, 1), outdir=outdir)
 

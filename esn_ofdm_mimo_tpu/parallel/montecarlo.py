@@ -179,7 +179,8 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
                   checkpoint=None, step_factory=None,
                   rounds_per_call: int = 4,
                   adaptive_min_errors: Optional[int] = None,
-                  adaptive_max_blocks: Optional[int] = None) -> CurveResult:
+                  adaptive_max_blocks: Optional[int] = None,
+                  adaptive_on_uncoded: bool = False) -> CurveResult:
     """Run the full SNR sweep of a block-fading experiment.
 
     blocks_per_snr is rounded up to a whole number of dispatches
@@ -232,8 +233,12 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
     def _short_of_target(acc):
         """True while any detector is below the adaptive error target.
         Stopping unit: failed codewords when LDPC decodes (coded bit errors
-        cluster per codeword), uncoded bit errors otherwise."""
-        counts = (acc.frame_errors if cfg.ldpc.enabled else acc.bit_errors)
+        cluster per codeword), uncoded bit errors otherwise — or always
+        uncoded bits with adaptive_on_uncoded (deep uncoded floors in coded
+        presets, e.g. siso_qpsk_awgn at 21+ dB where the coded BER is an
+        exact 0 and frame counts would always run to the cap)."""
+        coded_unit = cfg.ldpc.enabled and not adaptive_on_uncoded
+        counts = (acc.frame_errors if coded_unit else acc.bit_errors)
         return min(int(v) for v in counts.values()) < adaptive_min_errors
 
     def _adaptive_topup(jj, ebno, acc, base_blocks):
@@ -266,9 +271,10 @@ def run_nbf_curve(cfg: SimConfig, blocks_per_snr: int,
                                             progress=progress))
             acc = _tree_add(acc, cnt)
         if progress is not None and extra:
-            unit = "failed codewords" if cfg.ldpc.enabled else "bit errors"
+            coded_unit = cfg.ldpc.enabled and not adaptive_on_uncoded
+            unit = "failed codewords" if coded_unit else "bit errors"
             errs = {d: int(v) for d, v in
-                    (acc.frame_errors if cfg.ldpc.enabled
+                    (acc.frame_errors if coded_unit
                      else acc.bit_errors).items()}
             progress(f"[mc] EbNo={ebno:g} dB adaptive: +{extra} blocks "
                      f"({blocks} total), {unit} {errs}")

@@ -218,7 +218,10 @@ def main() -> None:
     # the FLOPs actually executed
     cap = cfg.calib.max_fit_samples
     if cap is not None and cal_samples > cap:
-        cal_samples = cal_samples // -(-cal_samples // int(cap))
+        # fit_calibrators keeps ceil(S/stride) samples via x[..., ::stride]
+        # (ADVICE r04 #3: floor here understated f_fit by up to one stride)
+        stride = -(-cal_samples // int(cap))
+        cal_samples = -(-cal_samples // stride)
     f_fit = calib_fit_flops(cfg.ofdm.bits_per_symbol, cal_samples,
                             cfg.calib.gd_steps)
 

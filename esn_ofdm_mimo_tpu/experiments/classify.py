@@ -51,9 +51,21 @@ def main(argv=None):
     os.makedirs(args.outdir, exist_ok=True)
     from ..utils.metrics import MetricsLogger
     import time
+    # artifact self-description (VERDICT r04 #5): the sm1 dataset encodes
+    # with the NR LDPC code, whose base-graph DATA is a documented
+    # surrogate — the caveat + table fingerprint travel with every artifact
+    meta = {"frontend": args.frontend, "variant": args.variant,
+            "blocks": blocks, "epochs": epochs, "batch": batch,
+            "seed": args.seed}
+    if args.frontend == "sm1":
+        from ..ldpc import (NR_SURROGATE_CAVEAT, BG_TABLES_SOURCE,
+                            basegraph_fingerprint)
+        meta["nr_basegraph_source"] = BG_TABLES_SOURCE
+        meta["nr_basegraph_fingerprint"] = basegraph_fingerprint()
+        if BG_TABLES_SOURCE == "surrogate":
+            meta["nr_caveat"] = NR_SURROGATE_CAVEAT
     log = MetricsLogger(os.path.join(args.outdir, "events.jsonl"))
-    log.log("run_start", frontend=args.frontend, variant=args.variant,
-            blocks=blocks, epochs=epochs, batch=batch)
+    log.log("run_start", **meta)
     t0 = time.time()
     results, scatter = run_classification_experiment(
         cfg, blocks=blocks, epochs=epochs, seed=args.seed,
@@ -70,7 +82,10 @@ def main(argv=None):
     with open(os.path.join(args.outdir, "ber_vs_snr.pkl"), "wb") as f:
         pickle.dump({"ebno_db": ebnos, "ber": ber}, f)
     with open(os.path.join(args.outdir, "model_results.pkl"), "wb") as f:
-        pickle.dump(results, f)
+        # meta rides alongside the per-SNR results so the NR-surrogate
+        # caveat (and the table fingerprint it is keyed by) is part of the
+        # artifact, not just the source tree
+        pickle.dump({"meta": meta, "results": results}, f)
 
     # printed tables, reference style (incl. trainable parameter counts,
     # reference esn_via_cdl_all_model.py:229-236)

@@ -100,6 +100,11 @@ def main(argv=None) -> None:
                          "anywhere in the compute path (disables some "
                          "fusions — debugging runs only)")
     args = ap.parse_args(argv)
+    if args.qam_bits is not None and (args.qam_bits < 2 or args.qam_bits % 2):
+        # fail at the CLI, not with an obscure constellation shape error
+        # deep in the mapper (ADVICE r04 #4)
+        ap.error("--qam-bits must be a positive even integer "
+                 "(square QAM constellations only)")
 
     maybe_init_distributed()
     cfg = get_preset(args.preset, fast=args.fast)

@@ -256,8 +256,15 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
                               for j in range(dc)]
                         r_new = check_update_row(i, qc)
                         for j in range(dc):
-                            r_ref[i, j] = r_new[j].astype(msg_dtype)
-                            lt_ref[j] = q[j] + r_new[j]
+                            # add the ROUNDED message into the posterior so
+                            # Ltot == lc + sum(r_stored) holds exactly under
+                            # bf16 message storage too (ADVICE r04 #2: the
+                            # unrounded add drifts by accumulated rounding
+                            # residuals over dv*iterations); f32 storage is
+                            # bit-identical (the casts are no-ops)
+                            r_stored = r_new[j].astype(msg_dtype)
+                            r_ref[i, j] = r_stored
+                            lt_ref[j] = q[j] + r_stored.astype(jnp.float32)
                 else:
                     # flooding: all rows update from the same pre-iteration
                     # posteriors (lt_ref, refreshed at the end of the

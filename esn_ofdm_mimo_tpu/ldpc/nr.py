@@ -140,7 +140,37 @@ def _surrogate_basegraph(bg: int):
 
 
 # swap in the TS 38.212 Tables 5.3.2-2/-3 here for standards-exact codewords
+# and flip BG_TABLES_SOURCE to "ts38212" — nothing else changes; the
+# fingerprint below then self-describes the upgrade in every artifact.
 _BG_TABLES = {bg: _surrogate_basegraph(bg) for bg in (1, 2)}
+BG_TABLES_SOURCE = "surrogate"
+
+# One-line artifact stamp (VERDICT r04 #5): sm1 result metadata
+# (model_results.pkl meta dict, events.jsonl) carries this string so the
+# caveat travels WITH the data instead of living only in this docstring.
+NR_SURROGATE_CAVEAT = (
+    "NR LDPC base graph is a STRUCTURE-EXACT SURROGATE (deterministic "
+    "shift coefficients; TS 38.212 Tables 5.3.2-2/-3 unavailable in this "
+    "offline build) — spec machinery exact, codewords NOT interoperable "
+    "with a standards 38.212 codec; see esn_ofdm_mimo_tpu/ldpc/nr.py")
+
+
+def basegraph_fingerprint() -> str:
+    """Stable checksum of the active base-graph tables.
+
+    Recorded in artifacts next to BG_TABLES_SOURCE: dropping in the true
+    Tables 5.3.2-2/-3 later is then a VERIFIED one-line data change — the
+    fingerprint in new artifacts changes, old artifacts keep describing the
+    tables they were produced with (tests/test_nr_ldpc.py pins the current
+    surrogate fingerprint so any accidental table edit fails loudly)."""
+    import hashlib
+    h = hashlib.sha256()
+    for bg in sorted(_BG_TABLES):
+        entries, dims = _BG_TABLES[bg]
+        h.update(repr(dims).encode())
+        for key in sorted(entries):
+            h.update(repr((key, entries[key].tolist())).encode())
+    return h.hexdigest()[:16]
 
 
 class NrCode(NamedTuple):

@@ -73,11 +73,13 @@ def make_equalized_dataset_sm1(ebno_db, key, batch: int = 64,
 
     The reference instantiates an LDPC5GDecoder but never calls it
     (esn_ofdm_mimo_via_cdl.py:69 vs :241 — encoder-only path). Coded bits
-    are real 38.212 NR LDPC codewords (ldpc/nr.py: BG2, Z=160, 2Z
-    systematic puncture, filler-skipping rate matching at rv0) at the
-    reference's exact call shape LDPC5GEncoder(k=D*m*R, n=D*m) — the SER
-    anchors are the test that the codeword-bit law (uniform) is what
-    reaches the classifiers (tests/test_sm1.py).
+    are 38.212-STRUCTURED NR LDPC codewords (surrogate base-graph shift
+    data — see the ldpc/nr.py caveat: spec machinery exact, Tables
+    5.3.2-2/-3 unavailable offline; NOT interoperable with a true 38.212
+    codec) at the reference's exact call shape LDPC5GEncoder(k=D*m*R,
+    n=D*m), with BG2, Z=160, 2Z systematic puncture, filler-skipping rate
+    matching at rv0 — the SER anchors are the test that the codeword-bit
+    law (uniform) is what reaches the classifiers (tests/test_sm1.py).
     """
     rg = rg or sm1_grid.ResourceGrid(num_streams=4)
     cdl_cfg = cdl_cfg or sm1_cdl.CdlConfig()

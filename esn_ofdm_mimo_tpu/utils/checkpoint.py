@@ -38,10 +38,14 @@ class SnrCheckpoint:
         Counter NamedTuples (NbfCounts/CdlCounts) pickle positionally, so a
         checkpoint written by an older revision with fewer fields raises
         TypeError on unpickle; a --resume run should re-simulate that SNR
-        point rather than crash (ADVICE r03 #2)."""
+        point rather than crash (ADVICE r03 #2). Only stale-shape /
+        truncated-file errors are swallowed — a transient I/O error on a
+        good checkpoint (NFS hiccup, permissions) propagates instead of
+        silently re-simulating an expensive SNR point (ADVICE r04 #5)."""
         try:
             return self.load(snr_idx)
-        except Exception as e:  # noqa: BLE001 — any stale pickle shape
-            print(f"[ckpt] snr {snr_idx}: unreadable checkpoint "
+        except (TypeError, KeyError, AttributeError, EOFError,
+                pickle.UnpicklingError, ModuleNotFoundError) as e:
+            print(f"[ckpt] snr {snr_idx}: stale/unreadable checkpoint "
                   f"({type(e).__name__}: {e}); re-simulating")
             return None

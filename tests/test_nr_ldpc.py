@@ -134,3 +134,46 @@ def test_nr_decoder_round_trip_and_correction():
     dec_ber = (np.asarray(u_hat) != u).mean()
     assert raw_ber > 0.01            # the channel actually errs
     assert dec_ber < raw_ber / 5     # and BP corrects most of it
+
+
+def test_basegraph_table_invariants_and_fingerprint():
+    """Data-validation hook for the base-graph tables (VERDICT r04 #5).
+
+    Asserts the structural invariants ANY valid 38.212 table set must
+    satisfy, so dropping the true Tables 5.3.2-2/-3 into _BG_TABLES later
+    is a verified one-line data change: these checks must keep passing,
+    while the pinned surrogate fingerprint below must be UPDATED (and
+    BG_TABLES_SOURCE flipped to "ts38212")."""
+    for bg, (m_b_exp, n_b_exp, kb_exp) in nr._BG_DIMS.items():
+        entries, (m_b, n_b, kb) = nr._BG_TABLES[bg]
+        assert (m_b, n_b, kb) == (m_b_exp, n_b_exp, kb_exp)
+        rows = {i for i, _ in entries}
+        cols = {j for _, j in entries}
+        assert rows == set(range(m_b))
+        assert max(cols) < kb + m_b        # base matrix is m_b x (kb + m_b)
+        for (i, j), shifts in entries.items():
+            assert 0 <= i < m_b and 0 <= j < kb + m_b
+            assert shifts.shape == (8,)
+            # shifts live in [0, 384): every lifted graph reduces them mod Z
+            assert int(shifts.min()) >= 0 and int(shifts.max()) < 384
+        # NR core skeleton: double diagonal over parity cols kb..kb+3 with
+        # the weight-3 first parity column (shift 1 in its top entry)
+        assert (0, kb) in entries and int(entries[(0, kb)][0]) == 1
+        for (i, j) in [(0, kb + 1), (1, kb), (1, kb + 1), (1, kb + 2),
+                       (2, kb + 2), (2, kb + 3), (3, kb), (3, kb + 3)]:
+            assert (i, j) in entries
+        # extension rows carry exactly one identity column each, and no
+        # entries to the right of it (lower-triangular extension)
+        for e in range(m_b - 4):
+            i = 4 + e
+            assert (i, kb + 4 + e) in entries
+            assert all(j <= kb + 4 + e for (ri, j) in entries if ri == i)
+        # punctured high-degree columns 0 and 1 appear in all 4 core rows
+        for i in range(4):
+            assert (i, 0) in entries and (i, 1) in entries
+
+    # pinned surrogate fingerprint: an accidental edit of the surrogate
+    # data fails here; a deliberate true-table upgrade updates this pin
+    assert nr.BG_TABLES_SOURCE == "surrogate"
+    assert nr.basegraph_fingerprint() == "6e0522b9a8ebd5de"
+    assert "SURROGATE" in nr.NR_SURROGATE_CAVEAT

@@ -195,9 +195,14 @@ class LdpcConfig:
     # BP check-node rule: "sumprod" = pyldpc's exact tanh rule (the parity
     # default); "minsum" = normalised min-sum (minsum_scale x second-min,
     # exact leave-one-out) — no transcendentals per iteration, the classic
-    # hardware decoder, typically within 0.1-0.2 dB at rate 1/2
+    # hardware decoder, typically within 0.1-0.2 dB at rate 1/2;
+    # "offset-minsum" = offset min-sum (max(second-min - minsum_offset, 0),
+    # the λ-subtract variant — the standard next step when normalized
+    # min-sum misses the parity band, VERDICT r04 #3; sweep in
+    # tools/sweep_minsum_offset.py)
     algo: str = "sumprod"
     minsum_scale: float = 0.75
+    minsum_offset: float = 0.5
     # BP update schedule: "flooding" = pyldpc's parallel updates (the parity
     # default); "layered" (QC family only) = serial-C row-layered sweeps —
     # converges in ~half the flooding iterations at equal-or-better BER

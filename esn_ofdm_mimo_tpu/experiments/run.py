@@ -37,13 +37,19 @@ def main(argv=None) -> None:
                          "docs/ENVIRONMENT.md)")
     ap.add_argument("--outdir", default=None)
     ap.add_argument("--seed", type=int, default=None)
-    ap.add_argument("--ldpc-algo", choices=("sumprod", "minsum"), default=None,
+    ap.add_argument("--ldpc-algo",
+                    choices=("sumprod", "minsum", "offset-minsum"),
+                    default=None,
                     help="override the BP check rule (default: preset's; "
                          "sumprod = pyldpc parity, minsum = normalised "
-                         "min-sum, ~3x cheaper decode)")
+                         "min-sum, offset-minsum = offset/λ-subtract "
+                         "min-sum — both ~3x cheaper decode)")
     ap.add_argument("--ldpc-minsum-scale", type=float, default=None,
                     help="normalisation scale for --ldpc-algo minsum "
                          "(default: preset's, 0.75)")
+    ap.add_argument("--ldpc-minsum-offset", type=float, default=None,
+                    help="offset β for --ldpc-algo offset-minsum "
+                         "(default: preset's, 0.5)")
     ap.add_argument("--ldpc-family", choices=("gallager", "qc", "pyldpc"),
                     default=None,
                     help="override the code family (pyldpc = construction-"
@@ -68,10 +74,10 @@ def main(argv=None) -> None:
                          "concentrates blocks at the waterfall cliff and "
                          "the deep tails")
     ap.add_argument("--adaptive-on-uncoded", action="store_true",
-                    help="NBF pipelines: stop adaptive sampling on UNCODED "
-                         "bit errors even with LDPC enabled — for deep "
-                         "uncoded floors in coded presets (siso_qpsk_awgn "
-                         "21+ dB, coded BER exactly 0)")
+                    help="stop adaptive sampling on UNCODED bit errors "
+                         "even with LDPC enabled — for deep uncoded floors "
+                         "in coded presets (siso_qpsk_awgn 21+ dB, coded "
+                         "BER exactly 0); NBF and CDL pipelines")
     ap.add_argument("--adaptive-max-blocks", type=int, default=None,
                     help="cap on decoded blocks per SNR for "
                          "--adaptive-min-errors (default 4x blocks-per-snr)")
@@ -128,6 +134,7 @@ def main(argv=None) -> None:
             cfg, esn=dataclasses.replace(cfg.esn,
                                          target_waveform=args.esn_target))
     if (args.ldpc_algo is not None or args.ldpc_minsum_scale is not None
+            or args.ldpc_minsum_offset is not None
             or args.ldpc_family is not None or args.ldpc_seed is not None):
         import dataclasses
         ld = cfg.ldpc
@@ -135,6 +142,8 @@ def main(argv=None) -> None:
             ld = dataclasses.replace(ld, algo=args.ldpc_algo)
         if args.ldpc_minsum_scale is not None:
             ld = dataclasses.replace(ld, minsum_scale=args.ldpc_minsum_scale)
+        if args.ldpc_minsum_offset is not None:
+            ld = dataclasses.replace(ld, minsum_offset=args.ldpc_minsum_offset)
         if args.ldpc_family is not None:
             ld = dataclasses.replace(ld, family=args.ldpc_family)
         if args.ldpc_seed is not None:
@@ -160,7 +169,8 @@ def main(argv=None) -> None:
                                     progress=progress,
                                     rounds_per_call=args.rounds_per_call,
                                     adaptive_min_errors=args.adaptive_min_errors,
-                                    adaptive_max_blocks=args.adaptive_max_blocks)
+                                    adaptive_max_blocks=args.adaptive_max_blocks,
+                                    adaptive_on_uncoded=args.adaptive_on_uncoded)
             save_cdl_results(outdir, cfg, results)
         else:
             res = run_nbf_curve(cfg, blocks,

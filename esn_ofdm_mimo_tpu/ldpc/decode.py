@@ -60,13 +60,18 @@ def _leave_one_out_prod(t: jnp.ndarray) -> jnp.ndarray:
 def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100,
                    algo: str = "sumprod", minsum_scale: float = 0.75,
                    return_stats: bool = False, max_iter_bound=None,
-                   schedule: str = "flooding", pass1_iters=None):
+                   schedule: str = "flooding", pass1_iters=None,
+                   minsum_offset: float = 0.5):
     """Decode B codewords. llr (B, n) channel LLRs (positive <=> bit 0).
 
     algo="sumprod" reproduces pyldpc's tanh-rule updates (the parity
     default); algo="minsum" is the normalised min-sum approximation
     (sign-product x scaled second-min magnitude) — cheaper per iteration,
-    the classic hardware decoder; ~0.1-0.2 dB from sum-product at rate 1/2.
+    the classic hardware decoder; ~0.1-0.2 dB from sum-product at rate 1/2;
+    algo="offset-minsum" is the offset (λ-subtract) variant:
+    sign-product x max(second-min - minsum_offset, 0) — same op budget as
+    minsum, often closer to sum-product on short low-dv codes
+    (VERDICT r04 #3 A/B; minsum_scale is ignored in this mode).
 
     schedule="flooding" is pyldpc's parallel update (the parity default);
     schedule="layered" (QC codes only) is the serial-C row-layered sweep:
@@ -119,17 +124,19 @@ def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100,
                                          minsum_scale, return_stats,
                                          iter_cap=iter_cap,
                                          schedule=schedule,
-                                         pass1_iters=pass1_iters)
+                                         pass1_iters=pass1_iters,
+                                         minsum_offset=minsum_offset)
         # XLA path on the identical full QC graph, in natural column order
         llr_nat = llr[:, jnp.asarray(code.qc.inv_perm)]
         if schedule == "layered":
             out = _decode_bp_qc_layered(code, llr_nat, max_iter, algo,
-                                        minsum_scale, return_stats)
+                                        minsum_scale, return_stats,
+                                        minsum_offset)
         else:
             out = _decode_bp_graph(jnp.asarray(code.qc.ck_cols_nat),
                                    jnp.asarray(code.qc.var_edge_nat),
                                    llr_nat, max_iter, algo, minsum_scale,
-                                   return_stats)
+                                   return_stats, minsum_offset)
         perm = jnp.asarray(code.qc.perm)
         if return_stats:
             bits, stats = out
@@ -137,14 +144,15 @@ def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100,
         return out[:, perm]
     return _decode_bp_graph(jnp.asarray(code.ck_cols),
                             jnp.asarray(code.var_edge), llr, max_iter,
-                            algo, minsum_scale, return_stats)
+                            algo, minsum_scale, return_stats,
+                            minsum_offset)
 
 
 def ldpc_decode_bp_counts(code: LdpcCode, llr: jnp.ndarray,
                           info_bits: jnp.ndarray, max_iter: int = 100,
                           algo: str = "sumprod", minsum_scale: float = 0.75,
                           max_iter_bound=None, schedule: str = "flooding",
-                          pass1_iters=None):
+                          pass1_iters=None, minsum_offset: float = 0.5):
     """Decode + per-codeword info-bit error counts, skipping the bits
     round-trip where the backend allows.
 
@@ -173,18 +181,19 @@ def ldpc_decode_bp_counts(code: LdpcCode, llr: jnp.ndarray,
             return ldpc_decode_bp_pallas_counts(
                 code, llr, info_bits, max_iter, algo, minsum_scale,
                 iter_cap=iter_cap, schedule=schedule,
-                pass1_iters=pass1_iters)
+                pass1_iters=pass1_iters, minsum_offset=minsum_offset)
     d_hat, st = ldpc_decode_bp(code, llr, max_iter, algo, minsum_scale,
                                return_stats=True,
                                max_iter_bound=max_iter_bound,
-                               schedule=schedule, pass1_iters=pass1_iters)
+                               schedule=schedule, pass1_iters=pass1_iters,
+                               minsum_offset=minsum_offset)
     bad = d_hat[:, code.m:] != info_bits
     return jnp.sum(bad.astype(jnp.int32), axis=-1), st
 
 
 def _decode_bp_qc_layered(code: LdpcCode, llr_nat: jnp.ndarray, max_iter,
                           algo: str, minsum_scale: float,
-                          return_stats: bool):
+                          return_stats: bool, minsum_offset: float = 0.5):
     """Serial-C (row-layered) BP on the full lifted QC graph, natural order.
 
     The QC structure makes layers trivial: base row i touches every
@@ -222,7 +231,7 @@ def _decode_bp_qc_layered(code: LdpcCode, llr_nat: jnp.ndarray, max_iter,
             qc = jnp.clip(q, -MSG_CLIP, MSG_CLIP)
             t = jnp.stack([jnp.roll(qc[:, j], shifts[i][j], axis=-1)
                            for j in range(dc)], axis=-1)       # (B, Z, dc)
-            if algo == "minsum":
+            if algo in ("minsum", "offset-minsum"):
                 sgn = jnp.where(t < 0, -1.0, 1.0)
                 sprod = _leave_one_out_prod(sgn)
                 mag = jnp.abs(t)
@@ -234,7 +243,11 @@ def _decode_bp_qc_layered(code: LdpcCode, llr_nat: jnp.ndarray, max_iter,
                 m2 = jnp.min(jnp.where(first_min, jnp.inf, mag), axis=-1,
                              keepdims=True)
                 loo = jnp.where(first_min, m2, m1)
-                rc = minsum_scale * sprod * jnp.minimum(loo, MSG_CLIP)
+                if algo == "offset-minsum":
+                    rc = sprod * jnp.maximum(
+                        jnp.minimum(loo, MSG_CLIP) - minsum_offset, 0.0)
+                else:
+                    rc = minsum_scale * sprod * jnp.minimum(loo, MSG_CLIP)
             else:
                 th = jnp.tanh(0.5 * t)
                 prod = jnp.clip(_leave_one_out_prod(th),
@@ -277,7 +290,8 @@ def _decode_bp_qc_layered(code: LdpcCode, llr_nat: jnp.ndarray, max_iter,
 
 def _decode_bp_graph(ck_cols: jnp.ndarray, var_edge: jnp.ndarray,
                      llr: jnp.ndarray, max_iter: int, algo: str,
-                     minsum_scale: float, return_stats: bool):
+                     minsum_scale: float, return_stats: bool,
+                     minsum_offset: float = 0.5):
     """Flooding BP on an explicit (ck_cols, var_edge) gather-map graph."""
     B, n = llr.shape
     m, dc = ck_cols.shape
@@ -306,7 +320,7 @@ def _decode_bp_graph(ck_cols: jnp.ndarray, var_edge: jnp.ndarray,
         L_tot = Lc + sum_r_per_var(r)                 # (B, n)
         q = gather_var(L_tot, 0.0) - r                # var->check, (B, m, dc)
         q = jnp.clip(q, -MSG_CLIP, MSG_CLIP)
-        if algo == "minsum":
+        if algo in ("minsum", "offset-minsum"):
             sgn = jnp.where(valid, jnp.sign(q), 1.0)
             sgn = jnp.where(sgn == 0, 1.0, sgn)
             sprod = _leave_one_out_prod(sgn)
@@ -320,7 +334,11 @@ def _decode_bp_graph(ck_cols: jnp.ndarray, var_edge: jnp.ndarray,
             mag2 = jnp.where(first_min, jnp.inf, mag)
             m2 = jnp.min(mag2, axis=-1, keepdims=True)
             loo_min = jnp.where(first_min, m2, m1)
-            r_new = minsum_scale * sprod * jnp.minimum(loo_min, MSG_CLIP)
+            if algo == "offset-minsum":
+                r_new = sprod * jnp.maximum(
+                    jnp.minimum(loo_min, MSG_CLIP) - minsum_offset, 0.0)
+            else:
+                r_new = minsum_scale * sprod * jnp.minimum(loo_min, MSG_CLIP)
             r_new = jnp.where(valid, r_new, 0.0)
             return r_new, L_tot
         t = jnp.where(valid, jnp.tanh(0.5 * q), 1.0)

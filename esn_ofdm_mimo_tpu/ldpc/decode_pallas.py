@@ -88,7 +88,7 @@ def _roll(x: jnp.ndarray, s: int, Z: int) -> jnp.ndarray:
 
 def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
                minsum_scale: float, schedule: str = "flooding",
-               msg_dtype=None):
+               msg_dtype=None, minsum_offset: float = 0.5):
     """Build the kernel body with all structure baked in statically.
 
     `max_iter` is the STATIC trip count the kernel compiles with; the
@@ -182,7 +182,7 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
             """Leave-one-out check update of base row i from var->check
             inputs q[j] (clipped, variable domain). Returns the new
             check->var messages r_new[j] rolled back to the var domain."""
-            if algo == "minsum":
+            if algo in ("minsum", "offset-minsum"):
                 tc = [_roll(q[j], shifts[i][j], Z) for j in range(dc)]
                 # online (min, second-min, first-argmin) over j
                 sgn = [jnp.where(tc[j] < 0, -one, one) for j in range(dc)]
@@ -201,8 +201,14 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
                 out = []
                 for j in range(dc):
                     loo = jnp.where(arg1 == float(j), m2, m1)
-                    rc = (minsum_scale * sprod * sgn[j]
-                          * jnp.minimum(loo, MSG_CLIP))
+                    if algo == "offset-minsum":
+                        # offset (λ-subtract) variant: same op budget as
+                        # normalized min-sum, minsum_scale ignored
+                        rc = sprod * sgn[j] * jnp.maximum(
+                            jnp.minimum(loo, MSG_CLIP) - minsum_offset, 0.0)
+                    else:
+                        rc = (minsum_scale * sprod * sgn[j]
+                              * jnp.minimum(loo, MSG_CLIP))
                     out.append(_roll(rc, -shifts[i][j], Z))
                 return out
             tc = [_roll(jnp.tanh(0.5 * q[j]), shifts[i][j], Z)
@@ -297,14 +303,15 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8, 9))
 def _decode_padded(shape_key, lc_nat_T: jnp.ndarray, iter_cap: jnp.ndarray,
                    max_iter: int, algo: str, minsum_scale: float, qc_static,
-                   schedule: str = "flooding", msg_dtype=None):
+                   schedule: str = "flooding", msg_dtype=None,
+                   minsum_offset: float = 0.5):
     Z, dv, dc, shifts = qc_static
     n, Bp = lc_nat_T.shape
     kernel = _bp_kernel(Z, dv, dc, shifts, max_iter, algo, minsum_scale,
-                        schedule, msg_dtype)
+                        schedule, msg_dtype, minsum_offset)
     scratch = [pltpu.VMEM((dv, dc, Z, W),
                           _MSG_DTYPE if msg_dtype is None else msg_dtype),
                # posterior scratch (both schedules; see posterior())
@@ -331,7 +338,8 @@ def ldpc_decode_bp_pallas(code: LdpcCode, llr: jnp.ndarray,
                           minsum_scale: float = 0.75,
                           return_stats: bool = False,
                           iter_cap=None, schedule: str = "flooding",
-                          pass1_iters=None, msg_dtype=None):
+                          pass1_iters=None, msg_dtype=None,
+                          minsum_offset: float = 0.5):
     """Drop-in fast path for ldpc_decode_bp on QC codes (TPU backends).
 
     llr (B, n) channel LLRs in pipeline bit order; returns hard bits (B, n)
@@ -358,7 +366,7 @@ def ldpc_decode_bp_pallas(code: LdpcCode, llr: jnp.ndarray,
     """
     bits, stats = _decode_impl(code, llr, max_iter, algo, minsum_scale,
                                iter_cap, schedule, pass1_iters, None,
-                               msg_dtype)
+                               msg_dtype, minsum_offset)
     if return_stats:
         return bits, stats
     return bits
@@ -369,7 +377,8 @@ def ldpc_decode_bp_pallas_counts(code: LdpcCode, llr: jnp.ndarray,
                                  max_iter: int = 100, algo: str = "sumprod",
                                  minsum_scale: float = 0.75,
                                  iter_cap=None, schedule: str = "flooding",
-                                 pass1_iters=None, msg_dtype=None):
+                                 pass1_iters=None, msg_dtype=None,
+                                 minsum_offset: float = 0.5):
     """Decode + count info-bit errors WITHOUT materialising natural-order
     bits: the Monte-Carlo pipelines only consume per-codeword error counts,
     and transposing the (n, B) kernel output back to (B, n) plus the
@@ -384,11 +393,12 @@ def ldpc_decode_bp_pallas_counts(code: LdpcCode, llr: jnp.ndarray,
     tests/test_ldpc_qc.py)."""
     return _decode_impl(code, llr, max_iter, algo, minsum_scale,
                         iter_cap, schedule, pass1_iters, info_bits,
-                        msg_dtype)
+                        msg_dtype, minsum_offset)
 
 
 def _decode_impl(code, llr, max_iter, algo, minsum_scale, iter_cap,
-                 schedule, pass1_iters, count_against, msg_dtype=None):
+                 schedule, pass1_iters, count_against, msg_dtype=None,
+                 minsum_offset: float = 0.5):
     qc = code.qc
     assert qc is not None, "pallas decoder requires a QC code (make_qc_ldpc)"
     # Contract: `max_iter` (the compiled trip count) must dominate every
@@ -425,7 +435,8 @@ def _decode_impl(code, llr, max_iter, algo, minsum_scale, iter_cap,
         bits_T, stats = _decode_padded(None, lc_T, run_cap.reshape(1),
                                        int(trips), algo,
                                        float(minsum_scale), qc_static,
-                                       schedule, msg_dtype)
+                                       schedule, msg_dtype,
+                                       float(minsum_offset))
         it = stats[0, :B].astype(jnp.int32)
         conv = stats[1, :B] > 0.5
         return bits_T, it, conv

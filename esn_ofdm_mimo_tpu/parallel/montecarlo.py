@@ -489,13 +489,17 @@ def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
                   progress: Optional[Callable[[str], None]] = print,
                   checkpoint=None, rounds_per_call: int = 4,
                   adaptive_min_errors: Optional[int] = None,
-                  adaptive_max_blocks: Optional[int] = None):
+                  adaptive_max_blocks: Optional[int] = None,
+                  adaptive_on_uncoded: bool = False):
     """SNR sweep of the calibrated CDL pipeline.
 
     adaptive_min_errors: sequential Monte-Carlo — after the base budget,
     keep running decode rounds at an SNR point until every detector has
-    accumulated at least this many coded info-bit errors (or the
-    adaptive_max_blocks cap, default 4x blocks_per_snr, is reached). The
+    accumulated at least this many FAILED CODEWORDS (frame errors — the
+    NBF sampler's round-3 lesson: coded bit errors cluster ~k/2 per
+    failed codeword, so bit counts overstate the effective sample ~500x;
+    with adaptive_on_uncoded the unit is uncoded bit errors instead), or
+    the adaptive_max_blocks cap (default 4x blocks_per_snr) is reached. The
     waterfall cliff (12-15 dB, where the MMSE coded BER falls three decades
     across one grid step) is exactly where a fixed budget leaves run-to-run
     variance straddling the ±0.5 dB validation band; a min-error-count rule
@@ -602,10 +606,15 @@ def run_cdl_curve(cfg: SimConfig, blocks_per_snr: int,
                          for d, (a, b) in calib.items()}
             dec_blocks = bid - cal_rounds * G
             extra = 0
+
+            def _stop_unit():
+                src = (coded.bit_errors if adaptive_on_uncoded
+                       else coded.frame_errors)
+                return min(int(v) for v in src.values())
+
             # whole G-block rounds only; stop when the remaining budget is
             # below one round instead of overshooting the cap
-            while (min(int(v) for v in coded.frame_errors.values())
-                   < adaptive_min_errors
+            while (_stop_unit() < adaptive_min_errors
                    and max_dec_blocks - dec_blocks >= G):
                 n_rounds = min(Ra, (max_dec_blocks - dec_blocks) // G)
                 ids = jnp.arange(bid, bid + n_rounds * G, dtype=jnp.uint32)

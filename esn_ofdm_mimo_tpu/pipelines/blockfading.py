@@ -129,6 +129,7 @@ def run_nbf_blocks(cfg: SimConfig, ebno_db, bkeys,
                                         truth, max_iter,
                                         algo=cfg.ldpc.algo,
                                         minsum_scale=cfg.ldpc.minsum_scale,
+                                        minsum_offset=cfg.ldpc.minsum_offset,
                                         max_iter_bound=2 * cfg.ldpc.max_iter,
                                         schedule=cfg.ldpc.schedule,
                                         pass1_iters=cfg.ldpc.pass1_iters)

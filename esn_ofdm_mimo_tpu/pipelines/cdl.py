@@ -209,6 +209,7 @@ def cdl_decode_counters(cfg: SimConfig, Lcs: dict, info_bits) -> dict:
         code, jnp.concatenate([Lcs[n] for n in names], axis=0), truth,
         cfg.ldpc.max_iter, algo=cfg.ldpc.algo,
         minsum_scale=cfg.ldpc.minsum_scale,
+        minsum_offset=cfg.ldpc.minsum_offset,
         schedule=cfg.ldpc.schedule, pass1_iters=cfg.ldpc.pass1_iters)
     info_errors, frame_errors, iter_sum, unconv = {}, {}, {}, {}
     for i, name in enumerate(names):

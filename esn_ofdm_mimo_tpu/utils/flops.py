@@ -39,7 +39,8 @@ from ..config import SimConfig
 #            leave-one-out product fwd/bwd (3) + clip (1) + arctanh (1) +
 #            scale (1) + syndrome (2) = 14
 #   minsum:  sign/abs bookkeeping + two-min reduction + scale + syndrome = 11
-BP_FLOPS_PER_EDGE = {"sumprod": 14.0, "minsum": 11.0}
+BP_FLOPS_PER_EDGE = {"sumprod": 14.0, "minsum": 11.0,
+                     "offset-minsum": 12.0}
 
 NS_ITERS = 40      # models/esn._readout_lstsq ns_prepare(iters=40)
 NS_REFINE = 2      # ns_prepare solve(..., refine=2)

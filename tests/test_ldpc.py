@@ -164,3 +164,52 @@ def test_pyldpc_family_construction_and_decode():
         d = np.asarray(ldpc_decode_bp(code, jnp.asarray(llr), 50))
         errs[name] = float((d[:, code.m:] != u).mean())
     assert errs["pyldpc"] <= errs["gallager"] * 1.5 + 5e-3, errs
+
+
+def test_offset_minsum_decoder_corrects_errors():
+    code = make_regular_ldpc(512, 4, 8, seed=0)
+    rng = np.random.default_rng(5)
+    u = rng.integers(0, 2, size=(4, code.k))
+    cw = np.asarray(ldpc_encode(code, jnp.asarray(u))).astype(np.float32)
+    llr = (1 - 2 * cw) * 8.0
+    for b in range(4):
+        idx = rng.choice(code.n, size=8, replace=False)
+        llr[b, idx] *= -1
+    d = np.asarray(ldpc_decode_bp(code, jnp.asarray(llr), max_iter=50,
+                                  algo="offset-minsum", minsum_offset=0.5))
+    np.testing.assert_array_equal(d, cw.astype(np.int8))
+
+
+def test_offset_minsum_zero_offset_equals_unit_scale_minsum():
+    """β=0 offset min-sum IS min-sum at scale 1.0 (same ops, exactly)."""
+    code = make_regular_ldpc(512, 4, 8, seed=0)
+    rng = np.random.default_rng(7)
+    B = 8
+    u = rng.integers(0, 2, size=(B, code.k))
+    cw = np.asarray(ldpc_encode(code, jnp.asarray(u))).astype(np.float64)
+    rate = code.k / code.n
+    sigma = np.sqrt(1.0 / (2 * rate * 10 ** (2.0 / 10)))
+    y = (1 - 2 * cw) + sigma * rng.standard_normal(cw.shape)
+    llr = jnp.asarray(2 * y / sigma**2, dtype=jnp.float32)
+    d_off = np.asarray(ldpc_decode_bp(code, llr, 30, algo="offset-minsum",
+                                      minsum_offset=0.0))
+    d_ms = np.asarray(ldpc_decode_bp(code, llr, 30, algo="minsum",
+                                     minsum_scale=1.0))
+    np.testing.assert_array_equal(d_off, d_ms)
+
+
+def test_offset_minsum_close_to_sumprod_on_awgn():
+    code = make_regular_ldpc(512, 4, 8, seed=0)
+    rng = np.random.default_rng(6)
+    B = 24
+    u = rng.integers(0, 2, size=(B, code.k))
+    cw = np.asarray(ldpc_encode(code, jnp.asarray(u))).astype(np.float64)
+    rate = code.k / code.n
+    sigma = np.sqrt(1.0 / (2 * rate * 10 ** (3.0 / 10)))
+    y = (1 - 2 * cw) + sigma * rng.standard_normal(cw.shape)
+    llr = jnp.asarray(2 * y / sigma**2, dtype=jnp.float32)
+    ber_sp = np.mean(np.asarray(ldpc_decode_bp(code, llr, 60))[:, code.m:] != u)
+    ber_om = np.mean(np.asarray(
+        ldpc_decode_bp(code, llr, 60, algo="offset-minsum",
+                       minsum_offset=0.5))[:, code.m:] != u)
+    assert ber_om < max(3 * ber_sp, 0.01)

@@ -54,7 +54,7 @@ def _awgn_llrs(code, B, ebno_db, seed):
     return u, (2.0 * y / sigma**2).astype(np.float32)
 
 
-@pytest.mark.parametrize("algo", ["sumprod", "minsum"])
+@pytest.mark.parametrize("algo", ["sumprod", "minsum", "offset-minsum"])
 @pytest.mark.slow
 def test_pallas_kernel_matches_xla_graph(algo):
     """Kernel (interpret mode) vs the XLA decoder on the same full graph."""
@@ -137,7 +137,7 @@ def test_qc_decode_with_traced_max_iter(monkeypatch):
         importlib.reload(dec)
 
 
-@pytest.mark.parametrize("algo", ["sumprod", "minsum"])
+@pytest.mark.parametrize("algo", ["sumprod", "minsum", "offset-minsum"])
 @pytest.mark.slow
 def test_pallas_layered_matches_xla_layered(algo):
     """Layered-schedule kernel (interpret mode) vs the XLA layered decoder."""

@@ -80,12 +80,24 @@ def run_nbf():
     }
 
 
-def run_cdl():
+def run_cdl(timed: bool = False):
     from cdl_dist_common import cdl_cfg, make_cdl_root_step
     cfg = cdl_cfg()
     mesh = trials_mesh()
-    errs, tot, dec, calib = make_cdl_root_step(cfg, mesh)(
-        jax.random.PRNGKey(cfg.seed))
+    step = make_cdl_root_step(cfg, mesh)
+    if timed:
+        # collective-overhead measurement (VERDICT r04 #4): warm up
+        # (compile + first run), then time N repeats of the fused CDL
+        # SNR program. On CPU the virtual devices share physical cores,
+        # so the multi-process wall is an UPPER bound on collective +
+        # process-coordination overhead — documented in SCALING.md.
+        import time
+        jax.block_until_ready(step(jax.random.PRNGKey(cfg.seed)))
+        reps, t0 = 3, time.perf_counter()
+        for i in range(reps):
+            jax.block_until_ready(step(jax.random.PRNGKey(cfg.seed + i)))
+        return {"seconds_per_step": (time.perf_counter() - t0) / reps}
+    errs, tot, dec, calib = step(jax.random.PRNGKey(cfg.seed))
     return {
         "cal_bit_errors": {k: int(v) for k, v in errs.items()},
         "cal_total_bits": int(tot),
@@ -105,7 +117,12 @@ def main():
     assert jax.process_count() == num_procs, jax.process_count()
     assert jax.device_count() == _DPP * num_procs, jax.device_count()
 
-    res = run_cdl() if _MODE == "cdl" else run_nbf()
+    if _MODE == "cdl_timed":
+        res = run_cdl(timed=True)
+    elif _MODE == "cdl":
+        res = run_cdl()
+    else:
+        res = run_nbf()
     res["process_count"] = jax.process_count()
     res["device_count"] = jax.device_count()
     if jax.process_index() == 0:

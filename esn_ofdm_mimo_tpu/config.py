@@ -202,7 +202,9 @@ class LdpcConfig:
     # tools/sweep_minsum_offset.py)
     algo: str = "sumprod"
     minsum_scale: float = 0.75
-    minsum_offset: float = 0.5
+    # validated at the flagship waterfall (round-5 sweep + full-grid run:
+    # β=0.625 passes the ±0.5 dB band where minsum@0.75 failed)
+    minsum_offset: float = 0.625
     # BP update schedule: "flooding" = pyldpc's parallel updates (the parity
     # default); "layered" (QC family only) = serial-C row-layered sweeps —
     # converges in ~half the flooding iterations at equal-or-better BER

@@ -96,8 +96,15 @@ def mimo_4x8_cdl(fast: bool = False) -> SimConfig:
         # qc: same (4,8)-regular ensemble/rate as the reference's pyldpc
         # draw, girth-conditioned (>= 6), fused Pallas BP on TPU; BER
         # validated against the Gallager draw + the reference baseline
-        # (tools/validate_baseline.py)
-        ldpc=LdpcConfig(max_iter=100, family="qc"),
+        # (tools/validate_baseline.py).
+        # offset-minsum (round 5): full-grid validated at the converged
+        # 1024-4096-block budget — MMSE coded 11/11 in ±0.5 dB (6 dB
+        # +0.38 vs normalized min-sum's rejected +0.59; cliff +0.20),
+        # ESN deviations identical to the sumprod control
+        # (results/mimo_4x8_cdl_tpu_r5_offms vs _r5; sweep
+        # results/minsum_offset_sweep_r5.json). `--ldpc-algo sumprod`
+        # restores the pyldpc-exact tanh rule.
+        ldpc=LdpcConfig(max_iter=100, family="qc", algo="offset-minsum"),
         calib=CalibConfig(enabled=True, cal_fraction=0.3),
         ebno_db=_EBNO_FAST if fast else _EBNO_FULL,
         num_ofdm_symbols=200 if fast else 1000)

@@ -4,7 +4,13 @@ BASELINE.json's north star asks for measured Monte-Carlo scaling efficiency.
 On this machine only one real TPU chip is visible, so the harness measures
 whatever mesh sizes the current platform exposes (the 8-device CPU mesh in
 CI; a pod slice when run under jax.distributed on real hardware — the same
-code path).
+code path). On the CPU mesh the virtual devices share physical cores, so
+the printed blocks/s are a correctness exercise, NOT an efficiency claim —
+the quantified hardware prediction (complete collective inventory over
+measured device-seconds, 99%/89% weak-scaling efficiency at 256 chips
+over ICI/DCN) lives in tools/scaling_model.py + docs/SCALING.md, and the
+measured multi-process upper bound in tests/test_distributed.py::
+test_four_process_collective_overhead_fraction.
 
     python -m esn_ofdm_mimo_tpu.experiments.scaling [--preset mimo_4x8_cdl]
 """

@@ -61,7 +61,7 @@ def ldpc_decode_bp(code: LdpcCode, llr: jnp.ndarray, max_iter: int = 100,
                    algo: str = "sumprod", minsum_scale: float = 0.75,
                    return_stats: bool = False, max_iter_bound=None,
                    schedule: str = "flooding", pass1_iters=None,
-                   minsum_offset: float = 0.5):
+                   minsum_offset: float = 0.625):
     """Decode B codewords. llr (B, n) channel LLRs (positive <=> bit 0).
 
     algo="sumprod" reproduces pyldpc's tanh-rule updates (the parity
@@ -152,7 +152,7 @@ def ldpc_decode_bp_counts(code: LdpcCode, llr: jnp.ndarray,
                           info_bits: jnp.ndarray, max_iter: int = 100,
                           algo: str = "sumprod", minsum_scale: float = 0.75,
                           max_iter_bound=None, schedule: str = "flooding",
-                          pass1_iters=None, minsum_offset: float = 0.5):
+                          pass1_iters=None, minsum_offset: float = 0.625):
     """Decode + per-codeword info-bit error counts, skipping the bits
     round-trip where the backend allows.
 
@@ -193,7 +193,7 @@ def ldpc_decode_bp_counts(code: LdpcCode, llr: jnp.ndarray,
 
 def _decode_bp_qc_layered(code: LdpcCode, llr_nat: jnp.ndarray, max_iter,
                           algo: str, minsum_scale: float,
-                          return_stats: bool, minsum_offset: float = 0.5):
+                          return_stats: bool, minsum_offset: float = 0.625):
     """Serial-C (row-layered) BP on the full lifted QC graph, natural order.
 
     The QC structure makes layers trivial: base row i touches every
@@ -291,7 +291,7 @@ def _decode_bp_qc_layered(code: LdpcCode, llr_nat: jnp.ndarray, max_iter,
 def _decode_bp_graph(ck_cols: jnp.ndarray, var_edge: jnp.ndarray,
                      llr: jnp.ndarray, max_iter: int, algo: str,
                      minsum_scale: float, return_stats: bool,
-                     minsum_offset: float = 0.5):
+                     minsum_offset: float = 0.625):
     """Flooding BP on an explicit (ck_cols, var_edge) gather-map graph."""
     B, n = llr.shape
     m, dc = ck_cols.shape

@@ -88,7 +88,7 @@ def _roll(x: jnp.ndarray, s: int, Z: int) -> jnp.ndarray:
 
 def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
                minsum_scale: float, schedule: str = "flooding",
-               msg_dtype=None, minsum_offset: float = 0.5):
+               msg_dtype=None, minsum_offset: float = 0.625):
     """Build the kernel body with all structure baked in statically.
 
     `max_iter` is the STATIC trip count the kernel compiles with; the
@@ -307,7 +307,7 @@ def _bp_kernel(Z: int, dv: int, dc: int, shifts, max_iter: int, algo: str,
 def _decode_padded(shape_key, lc_nat_T: jnp.ndarray, iter_cap: jnp.ndarray,
                    max_iter: int, algo: str, minsum_scale: float, qc_static,
                    schedule: str = "flooding", msg_dtype=None,
-                   minsum_offset: float = 0.5):
+                   minsum_offset: float = 0.625):
     Z, dv, dc, shifts = qc_static
     n, Bp = lc_nat_T.shape
     kernel = _bp_kernel(Z, dv, dc, shifts, max_iter, algo, minsum_scale,
@@ -339,7 +339,7 @@ def ldpc_decode_bp_pallas(code: LdpcCode, llr: jnp.ndarray,
                           return_stats: bool = False,
                           iter_cap=None, schedule: str = "flooding",
                           pass1_iters=None, msg_dtype=None,
-                          minsum_offset: float = 0.5):
+                          minsum_offset: float = 0.625):
     """Drop-in fast path for ldpc_decode_bp on QC codes (TPU backends).
 
     llr (B, n) channel LLRs in pipeline bit order; returns hard bits (B, n)
@@ -378,7 +378,7 @@ def ldpc_decode_bp_pallas_counts(code: LdpcCode, llr: jnp.ndarray,
                                  minsum_scale: float = 0.75,
                                  iter_cap=None, schedule: str = "flooding",
                                  pass1_iters=None, msg_dtype=None,
-                                 minsum_offset: float = 0.5):
+                                 minsum_offset: float = 0.625):
     """Decode + count info-bit errors WITHOUT materialising natural-order
     bits: the Monte-Carlo pipelines only consume per-codeword error counts,
     and transposing the (n, B) kernel output back to (B, n) plus the
@@ -398,7 +398,7 @@ def ldpc_decode_bp_pallas_counts(code: LdpcCode, llr: jnp.ndarray,
 
 def _decode_impl(code, llr, max_iter, algo, minsum_scale, iter_cap,
                  schedule, pass1_iters, count_against, msg_dtype=None,
-                 minsum_offset: float = 0.5):
+                 minsum_offset: float = 0.625):
     qc = code.qc
     assert qc is not None, "pallas decoder requires a QC code (make_qc_ldpc)"
     # Contract: `max_iter` (the compiled trip count) must dominate every

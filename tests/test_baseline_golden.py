@@ -13,12 +13,19 @@ CSVS = [
     os.path.join(ROOT, "results", "mimo_4x8_cdl_tpu_v3", "results_ber.csv"),
     os.path.join(ROOT, "results", "mimo_4x8_cdl_tpu_qc", "results_ber.csv"),
     os.path.join(ROOT, "results", "mimo_4x8_cdl_tpu_big", "results_ber.csv"),
+    # round-5 frame-converged runs: the sumprod control and the
+    # offset-minsum flagship default (MMSE coded 11/11 incl. the cliff)
+    os.path.join(ROOT, "results", "mimo_4x8_cdl_tpu_r5", "results_ber.csv"),
+    os.path.join(ROOT, "results", "mimo_4x8_cdl_tpu_r5_offms",
+                 "results_ber.csv"),
 ]
 
 sys.path.insert(0, os.path.join(ROOT, "tools"))
 
 
-@pytest.mark.parametrize("csv", CSVS, ids=["v3", "qc", "gallager"])
+@pytest.mark.parametrize("csv", CSVS,
+                         ids=["v3", "qc", "gallager", "r5",
+                              "r5_offms"])
 def test_flagship_results_within_baseline_envelope(csv):
     if not os.path.exists(csv):
         pytest.skip("flagship results absent")

@@ -236,6 +236,16 @@ class CalibConfig:
     gd_steps: int = 400
     lr: float = 0.1
     l2: float = 1e-3
+    # fit solver: "gd" = the reference's 400-step full-batch gradient
+    # descent (parity default); "newton" = damped Newton-Raphson on the
+    # SAME penalized logistic MLE — ~8 iterations instead of 400, so the
+    # fit's sequential-step count (and with it the multi-chip model's
+    # dominant 400-small-all-reduce term, docs/SCALING.md) drops ~50x.
+    # Validated option: lands on the same optimum wherever GD@400 has
+    # converged; kept off the parity default because GD@400's
+    # early-stopping bias IS the reference's fit semantics on separated
+    # high-SNR cal sets.
+    fit_method: str = "gd"
     # cap on calibration samples per bit position entering the GD fit
     # (stride-subsampled when the stacked cal set is larger). The reference
     # fits on ~154k samples (30% of 1000 symbols x N x n_tx,

@@ -75,3 +75,43 @@ def test_graft_dryrun_multichip():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_newton_calibrator_fit_matches_gd_and_is_safe():
+    """fit_method='newton' (backtracking Newton on the same penalized
+    logistic MLE) equals GD@400 wherever GD has converged, never has a
+    worse penalized NLL, and stays finite on separated cal sets
+    (round 5; default stays 'gd' — the reference's fit semantics)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from esn_ofdm_mimo_tpu.pipelines.cdl import (fit_logreg_1d,
+                                                 fit_logreg_1d_newton)
+
+    rng = np.random.default_rng(0)
+
+    def pnll(a, b, x, y, l2=1e-3):
+        z = a[:, None] * x + b[:, None]
+        return (np.mean(np.log1p(np.exp(-np.abs(z)))
+                        + np.maximum(z, 0) - y * z)
+                + l2 / 2 * np.mean(a * a))
+
+    for at, bt in ((0.8, 0.1), (0.3, 0.0), (0.05, 0.2)):
+        x = rng.normal(0, 4.0, (4, 60000)).astype(np.float32)
+        p = 1 / (1 + np.exp(-(at * x + bt)))
+        y = (rng.random(x.shape) < p).astype(np.float32)
+        ag, bg = map(np.asarray, fit_logreg_1d(jnp.asarray(x),
+                                               jnp.asarray(y)))
+        an, bn = map(np.asarray, fit_logreg_1d_newton(jnp.asarray(x),
+                                                      jnp.asarray(y)))
+        assert pnll(an, bn, x, y) <= pnll(ag, bg, x, y) + 1e-6
+        # where GD converged (shallow slopes), the two agree tightly
+        if at < 1.0:
+            np.testing.assert_allclose(an, ag, atol=5e-3)
+            np.testing.assert_allclose(bn, bg, atol=5e-3)
+
+    # separated (deterministic) labels: no NaN/inf, still better NLL
+    x = rng.normal(0, 4.0, (2, 20000)).astype(np.float32)
+    y = (x > 0).astype(np.float32)
+    an, bn = map(np.asarray, fit_logreg_1d_newton(jnp.asarray(x),
+                                                  jnp.asarray(y)))
+    assert np.isfinite(an).all() and np.isfinite(bn).all()

@@ -61,7 +61,8 @@ def bw(fabric: str) -> float:
 
 
 def model(n_chips: int, fabric: str, blocks_per_device: int = 128,
-          rounds: int = 8, gather_worst_case: bool = True) -> dict:
+          rounds: int = 8, gather_worst_case: bool = True,
+          fit_method: str = "gd") -> dict:
     from esn_ofdm_mimo_tpu.experiments.presets import mimo_4x8_cdl
     cfg = mimo_4x8_cdl()
     m = cfg.ofdm.bits_per_symbol
@@ -72,10 +73,11 @@ def model(n_chips: int, fabric: str, blocks_per_device: int = 128,
     # 1. counter psums: uncoded (2 det + total) + decode (6 x 2 det + 2)
     n_counter_ar = 2
     counter_bytes = (3 + 14) * 4
-    # 2. fit gradient all-reduces: gd_steps sequential steps x (ga, gb)
-    # fused into one (2, m) reduce per step
-    n_fit_ar = cfg.calib.gd_steps
-    fit_bytes_per_ar = 2 * m * 4
+    # 2. fit all-reduces, sequential: "gd" = gd_steps x one fused (2, m)
+    # gradient reduce; "newton" (CalibConfig.fit_method, round 5) = ~8
+    # iterations x (grad/Hessian reduce + 4 backtracking-NLL reduces)
+    n_fit_ar = cfg.calib.gd_steps if fit_method == "gd" else 8 * 5
+    fit_bytes_per_ar = (2 if fit_method == "gd" else 5) * m * 4
     # 3. worst-case subsample all-gather (x and y for each detector)
     S_cap = cfg.calib.max_fit_samples or 0
     gather_bytes = (2 * n_det * S_cap * m * 4) if gather_worst_case else 0
@@ -84,7 +86,8 @@ def model(n_chips: int, fabric: str, blocks_per_device: int = 128,
               + (counter_bytes + n_fit_ar * fit_bytes_per_ar
                  + gather_bytes) / bw(fabric))
     eff = t_dev / (t_dev + t_coll)
-    return {"n_chips": n_chips, "fabric": fabric, "t_dev_s": t_dev,
+    return {"n_chips": n_chips, "fabric": fabric, "fit": fit_method,
+            "t_dev_s": t_dev,
             "t_coll_ms": t_coll * 1e3, "efficiency": eff,
             "fit_allreduces": n_fit_ar,
             "gather_bytes_worst": gather_bytes}
@@ -92,14 +95,16 @@ def model(n_chips: int, fabric: str, blocks_per_device: int = 128,
 
 def main() -> None:
     rows = []
-    for fabric in ("ici", "dcn"):
-        for n in (8, 32, 256):
-            rows.append(model(n, fabric))
-    print(f"{'chips':>6} {'fabric':>6} {'T_dev':>8} {'T_coll':>9} "
-          f"{'efficiency':>10}")
+    for fit in ("gd", "newton"):
+        for fabric in ("ici", "dcn"):
+            for n in (8, 32, 256):
+                rows.append(model(n, fabric, fit_method=fit))
+    print(f"{'chips':>6} {'fabric':>6} {'fit':>7} {'T_dev':>8} "
+          f"{'T_coll':>9} {'efficiency':>10}")
     for r in rows:
-        print(f"{r['n_chips']:>6} {r['fabric']:>6} {r['t_dev_s']:>7.2f}s "
-              f"{r['t_coll_ms']:>7.2f}ms {r['efficiency']:>9.4%}")
+        print(f"{r['n_chips']:>6} {r['fabric']:>6} {r['fit']:>7} "
+              f"{r['t_dev_s']:>7.2f}s {r['t_coll_ms']:>7.2f}ms "
+              f"{r['efficiency']:>9.4%}")
     print("\nper-SNR-point collective inventory (flagship, weak scaling "
           "at 128 blocks/device x 8 rounds):")
     r = model(256, "dcn")
